@@ -1,0 +1,65 @@
+"""Batched contact-matrix containers for TPU execution.
+
+The reference keeps one dense numpy matrix per chromosome and loops over
+chromosomes in Python (HiCHap/matrixBuilding.py:1026-1041).  On TPU we batch
+chromosomes into a single padded tensor ``[C, N, N]`` (N = bucket size, a
+multiple of 128 to align with MXU/VPU tiling) plus a per-chromosome ``n_bins``
+vector, so corrections/balancing vmap over the chromosome axis and shard over
+a device mesh.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Mapping, Sequence
+
+import numpy as np
+
+
+def pad_to_bucket(n: int, bucket: int = 128) -> int:
+    """Round up to a multiple of ``bucket`` (TPU lane alignment)."""
+    return max(bucket, ((n + bucket - 1) // bucket) * bucket)
+
+
+@dataclass
+class ContactBatch:
+    """Padded per-chromosome dense contact matrices.
+
+    Attributes
+    ----------
+    labels : chromosome labels, order of the batch axis.
+    data   : float array ``[C, N, N]``; rows/cols >= n_bins[i] are zero.
+    n_bins : int array ``[C]`` of true matrix sizes.
+    """
+
+    labels: List[str]
+    data: np.ndarray
+    n_bins: np.ndarray
+
+    @classmethod
+    def from_dict(cls, matrices: Mapping[str, np.ndarray],
+                  labels: Sequence[str] | None = None,
+                  bucket: int = 128,
+                  dtype=np.float32) -> "ContactBatch":
+        labels = list(labels) if labels is not None else list(matrices.keys())
+        sizes = [matrices[c].shape[0] for c in labels]
+        N = pad_to_bucket(max(sizes), bucket)
+        data = np.zeros((len(labels), N, N), dtype=dtype)
+        for i, c in enumerate(labels):
+            m = matrices[c]
+            data[i, : m.shape[0], : m.shape[1]] = m
+        return cls(labels, data, np.asarray(sizes, dtype=np.int32))
+
+    def to_dict(self) -> Dict[str, np.ndarray]:
+        out = {}
+        for i, c in enumerate(self.labels):
+            n = int(self.n_bins[i])
+            out[c] = np.asarray(self.data[i, :n, :n])
+        return out
+
+    def __len__(self):
+        return len(self.labels)
+
+    @property
+    def padded_size(self) -> int:
+        return self.data.shape[-1]

@@ -1,0 +1,284 @@
+"""Cooler-format HDF5 persistence, implemented directly on h5py.
+
+The reference delegates to the ``cooler`` package (HiCHap/matrixBuilding.py:
+100-303 ``NPZ2Cooler``); that package is not part of this framework's
+dependency set, so we write the documented Cooler schema (format-version 3,
+storage-mode symmetric-upper) ourselves.  Files written here are readable by
+stock ``cooler``/``cooltools``, and we can read both our own files and
+cooler-produced ones.
+
+Layout parity with the reference:
+  * multi-resolution files store one cooler group per resolution at the root,
+    addressed as ``file.cool::<res>`` (NPZ2Cooler writes ``outfil::res``,
+    matrixBuilding.py:200);
+  * bin tables use cooler's ``binnify`` convention (ceil(length/res));
+  * raw matrices store int32 counts, corrected matrices float64
+    (matrixBuilding.py:195-198);
+  * balancing weights live in ``bins/weight`` like ``cooler balance``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterable, List, Mapping, Sequence, Tuple
+
+import h5py
+import numpy as np
+
+from ..core.genome import Genome
+
+_FORMAT = "HDF5::Cooler"
+_FORMAT_VERSION = 3
+_GEN = "hichap_master_tpu"
+
+
+def _uri(path_or_uri: str) -> Tuple[str, str]:
+    if "::" in path_or_uri:
+        path, grp = path_or_uri.split("::", 1)
+        return path, "/" + grp.strip("/")
+    return path_or_uri, "/"
+
+
+def list_resolutions(path: str) -> List[int]:
+    with h5py.File(path, "r") as f:
+        out = []
+        for k in f.keys():
+            try:
+                out.append(int(k))
+            except ValueError:
+                continue
+        return sorted(out)
+
+
+class CoolerWriter:
+    """Write one cooler group from per-chromosome dense/sparse matrices."""
+
+    def __init__(self, genome: Genome, res: int, dtype: str = "int"):
+        self.genome = genome
+        self.res = res
+        self.count_dtype = np.int32 if dtype == "int" else np.float64
+
+    # ---------------------------------------------------------------- bins
+    def _bins(self):
+        return self.genome.cooler_bin_table(self.res)
+
+    def _chrom_offsets(self) -> np.ndarray:
+        nb = [self.genome.cooler_n_bins(c, self.res) for c in self.genome.labels]
+        return np.concatenate([[0], np.cumsum(nb)]).astype(np.int64)
+
+    # -------------------------------------------------------------- pixels
+    def pixels_from_dense(self, matrices: Mapping[str, np.ndarray],
+                          inter: Mapping[Tuple[str, str], np.ndarray] | None = None):
+        """Upper-triangle COO pixels with genome-wide bin ids.
+
+        ``matrices[c]`` are intra-chromosome dense matrices (either matrix
+        convention ``len//res+1`` or cooler convention; trimmed to the cooler
+        bin count — the extra trailing bin is empty by construction).
+        ``inter[(c1, c2)]`` optional cross blocks with c1 before c2.
+        """
+        offs = self._chrom_offsets()
+        idx = {c: i for i, c in enumerate(self.genome.labels)}
+        b1_all, b2_all, v_all = [], [], []
+        for c, M in matrices.items():
+            ci = idx[c]
+            nb = self.genome.cooler_n_bins(c, self.res)
+            Mt = np.asarray(M)[:nb, :nb]
+            iu, ju = np.nonzero(np.triu(Mt))
+            b1_all.append(iu + offs[ci])
+            b2_all.append(ju + offs[ci])
+            v_all.append(Mt[iu, ju])
+        if inter:
+            for (c1, c2), M in inter.items():
+                ci, cj = idx[c1], idx[c2]
+                if ci > cj:
+                    ci, cj = cj, ci
+                    M = np.asarray(M).T
+                    c1, c2 = c2, c1
+                n1 = self.genome.cooler_n_bins(c1, self.res)
+                n2 = self.genome.cooler_n_bins(c2, self.res)
+                Mt = np.asarray(M)[:n1, :n2]
+                iu, ju = np.nonzero(Mt)
+                b1_all.append(iu + offs[ci])
+                b2_all.append(ju + offs[cj])
+                v_all.append(Mt[iu, ju])
+        if not b1_all:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    np.zeros(0, self.count_dtype))
+        b1 = np.concatenate(b1_all)
+        b2 = np.concatenate(b2_all)
+        v = np.concatenate(v_all).astype(self.count_dtype)
+        order = np.lexsort((b2, b1))
+        return b1[order], b2[order], v[order]
+
+    def pixels_from_genomewide(self, M: np.ndarray):
+        """Pixels from one dense genome-wide matrix laid out in *matrix*
+        bin convention (len//res+1 per chromosome, concatenated)."""
+        offs_m = self.genome.bin_offsets(self.res)
+        intra = {}
+        inter = {}
+        labels = self.genome.labels
+        for i, c1 in enumerate(labels):
+            s1, e1 = offs_m[c1]
+            intra[c1] = M[s1 : e1 + 1, s1 : e1 + 1]
+            for c2 in labels[i + 1 :]:
+                s2, e2 = offs_m[c2]
+                blk = M[s1 : e1 + 1, s2 : e2 + 1]
+                if np.any(blk):
+                    inter[(c1, c2)] = blk
+        return self.pixels_from_dense(intra, inter)
+
+    # --------------------------------------------------------------- write
+    def write(self, path_or_uri: str, b1: np.ndarray, b2: np.ndarray,
+              v: np.ndarray, weights: np.ndarray | None = None,
+              metadata: dict | None = None, assembly: str = "unknown") -> None:
+        path, grp_name = _uri(path_or_uri)
+        mode = "a" if os.path.exists(path) else "w"
+        chrom_ids, starts, ends = self._bins()
+        n_bins = len(starts)
+        offs = self._chrom_offsets()
+
+        with h5py.File(path, mode) as f:
+            if grp_name in f and grp_name != "/":
+                del f[grp_name]
+            grp = f.require_group(grp_name)
+            for k in list(grp.keys()):
+                del grp[k]
+
+            labels = np.array(self.genome.labels, dtype="S64")
+            lengths = np.array(
+                [self.genome.sizes[c] for c in self.genome.labels], dtype=np.int32
+            )
+            chroms = grp.create_group("chroms")
+            chroms.create_dataset("name", data=labels)
+            chroms.create_dataset("length", data=lengths)
+
+            bins = grp.create_group("bins")
+            bins.create_dataset(
+                "chrom", data=chrom_ids.astype(np.int32),
+            )
+            # cooler stores bins/chrom as an HDF5 enum of chrom names; plain
+            # int32 indices keep the same values and remain readable.
+            bins.create_dataset("start", data=starts.astype(np.int32))
+            bins.create_dataset("end", data=ends.astype(np.int32))
+            if weights is not None:
+                bins.create_dataset("weight", data=np.asarray(weights, np.float64))
+
+            pixels = grp.create_group("pixels")
+            pixels.create_dataset("bin1_id", data=b1.astype(np.int64))
+            pixels.create_dataset("bin2_id", data=b2.astype(np.int64))
+            pixels.create_dataset("count", data=v.astype(self.count_dtype))
+
+            indexes = grp.create_group("indexes")
+            indexes.create_dataset("chrom_offset", data=offs)
+            bin1_offset = np.searchsorted(b1, np.arange(n_bins + 1), side="left")
+            indexes.create_dataset("bin1_offset", data=bin1_offset.astype(np.int64))
+
+            grp.attrs["format"] = _FORMAT
+            grp.attrs["format-version"] = _FORMAT_VERSION
+            grp.attrs["bin-size"] = self.res
+            grp.attrs["bin-type"] = "fixed"
+            grp.attrs["storage-mode"] = "symmetric-upper"
+            grp.attrs["nchroms"] = len(labels)
+            grp.attrs["nbins"] = n_bins
+            grp.attrs["nnz"] = len(v)
+            grp.attrs["sum"] = float(v.sum()) if len(v) else 0.0
+            grp.attrs["generated-by"] = _GEN
+            grp.attrs["genome-assembly"] = assembly
+            if metadata:
+                grp.attrs["metadata"] = json.dumps(metadata)
+
+
+def write_cooler(path: str, genome: Genome, res: int,
+                 matrices: Mapping[str, np.ndarray],
+                 inter: Mapping[Tuple[str, str], np.ndarray] | None = None,
+                 genomewide: np.ndarray | None = None,
+                 weights: np.ndarray | None = None,
+                 dtype: str = "int", metadata: dict | None = None) -> str:
+    """Write ``path::res``.  Either per-chrom ``matrices`` (+optional inter
+    blocks) or one dense ``genomewide`` matrix."""
+    w = CoolerWriter(genome, res, dtype)
+    if genomewide is not None:
+        b1, b2, v = w.pixels_from_genomewide(np.asarray(genomewide))
+    else:
+        b1, b2, v = w.pixels_from_dense(matrices, inter)
+    uri = f"{path}::{res}"
+    w.write(uri, b1, b2, v, weights=weights, metadata=metadata)
+    return uri
+
+
+class CoolerReader:
+    """Read cooler groups written by us or by stock cooler."""
+
+    def __init__(self, path_or_uri: str, res: int | None = None):
+        path, grp = _uri(path_or_uri)
+        if res is not None and grp == "/":
+            grp = f"/{res}"
+        self.path = path
+        self.grp = grp
+        with h5py.File(path, "r") as f:
+            g = f[self.grp]
+            names = g["chroms/name"][:]
+            self.chromnames: List[str] = [
+                n.decode() if isinstance(n, bytes) else str(n) for n in names
+            ]
+            self.lengths = {
+                c: int(l) for c, l in zip(self.chromnames, g["chroms/length"][:])
+            }
+            self.res = int(g.attrs["bin-size"])
+            self.chrom_offset = g["indexes/chrom_offset"][:]
+            self.nbins = int(g.attrs["nbins"])
+            self.has_weights = "weight" in g["bins"]
+
+    def genome(self, chroms: Sequence[str] = ()) -> Genome:
+        return Genome(self.lengths, chroms or ())
+
+    def bins_weight(self, label: str | None = None) -> np.ndarray:
+        with h5py.File(self.path, "r") as f:
+            g = f[self.grp]
+            w = g["bins/weight"][:]
+        if label is None:
+            return w
+        ci = self.chromnames.index(label)
+        s, e = self.chrom_offset[ci], self.chrom_offset[ci + 1]
+        return w[s:e]
+
+    def _fetch_block(self, ci: int, cj: int) -> np.ndarray:
+        with h5py.File(self.path, "r") as f:
+            g = f[self.grp]
+            b1 = g["pixels/bin1_id"][:]
+            b2 = g["pixels/bin2_id"][:]
+            v = g["pixels/count"][:]
+        s1, e1 = self.chrom_offset[ci], self.chrom_offset[ci + 1]
+        s2, e2 = self.chrom_offset[cj], self.chrom_offset[cj + 1]
+        n1, n2 = e1 - s1, e2 - s2
+        out = np.zeros((n1, n2), dtype=np.float64)
+        m = (b1 >= s1) & (b1 < e1) & (b2 >= s2) & (b2 < e2)
+        out[b1[m] - s1, b2[m] - s2] = v[m]
+        if ci == cj:
+            out = np.triu(out) + np.triu(out, 1).T
+        else:
+            m2 = (b1 >= s2) & (b1 < e2) & (b2 >= s1) & (b2 < e1)
+            out[b2[m2] - s1, b1[m2] - s2] = v[m2]
+        return out
+
+    def matrix(self, label: str, balance: bool = False) -> np.ndarray:
+        ci = self.chromnames.index(label)
+        M = self._fetch_block(ci, ci)
+        if balance:
+            w = self.bins_weight(label)
+            M = M * w[:, None] * w[None, :]
+        return M
+
+    def matrix_between(self, label1: str, label2: str) -> np.ndarray:
+        return self._fetch_block(
+            self.chromnames.index(label1), self.chromnames.index(label2)
+        )
+
+    def set_weights(self, weights: np.ndarray) -> None:
+        with h5py.File(self.path, "a") as f:
+            g = f[self.grp]
+            if "weight" in g["bins"]:
+                del g["bins"]["weight"]
+            g["bins"].create_dataset("weight", data=np.asarray(weights, np.float64))
+        self.has_weights = True

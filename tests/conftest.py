@@ -1,0 +1,31 @@
+"""Test harness configuration.
+
+Runs the whole suite on a virtual 8-device CPU mesh
+(``--xla_force_host_platform_device_count=8``) so multi-chip sharding paths
+compile and execute without TPU hardware, and enables x64 so numerical-parity
+tests against float64 NumPy/SciPy oracles are meaningful.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(20260816)
