@@ -4,4 +4,4 @@ from .genome import (
     sort_chromosomes,
     strip_chr,
 )
-from .contacts import ContactBatch, pad_to_bucket
+from .contacts import ContactBatch, pad_to_bucket, bucket_groups

@@ -21,6 +21,24 @@ def pad_to_bucket(n: int, bucket: int = 128) -> int:
     return max(bucket, ((n + bucket - 1) // bucket) * bucket)
 
 
+def bucket_groups(labels: Sequence[str], n_bins: Mapping[str, int],
+                  bucket: int = 512):
+    """Group chromosomes whose padded sizes coincide.
+
+    Padding every chromosome to the genome-wide max wastes HBM quadratically
+    (chr21 padded to chr1's size is ~30x larger than needed); grouping by
+    rounded size keeps batches dense while bounding compile count to the
+    number of distinct buckets.
+
+    Returns a list of ``(group_labels, padded_size)`` tuples.
+    """
+    by_size: Dict[int, List[str]] = {}
+    for c in labels:
+        N = pad_to_bucket(n_bins[c], bucket)
+        by_size.setdefault(N, []).append(c)
+    return [(v, k) for k, v in sorted(by_size.items())]
+
+
 @dataclass
 class ContactBatch:
     """Padded per-chromosome dense contact matrices.

@@ -1,0 +1,122 @@
+"""Columnar bed-record ingestion.
+
+The reference streams bed lines one at a time through Python string splits
+(HiCHap/matrixBuilding.py:567-603).  Here files parse into columnar numpy
+arrays with pandas' C reader, ready for chunked device scatter-adds.
+
+Formats (produced by the filtering layer, see HiCHap/filtering.py:16-47):
+  * traditional valid bed — 15 or 23 tab-separated columns; matrix building
+    consumes chrom1 (col 1), fragment-mid1 (col 6), chrom2 (col 8),
+    fragment-mid2 (col 13) (matrixBuilding.py:575-586);
+  * allelic bed — ``chrom1  fragmid1  chrom2  fragmid2  [tag]`` where tag is
+    ``Both`` / ``R1`` / ``R2`` for M_M and P_P beds and absent for
+    Bi_Allelic / M_P / P_M beds (filtering.py:1127-1234).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..core.genome import Genome, strip_chr
+
+TAG_BOTH, TAG_R1, TAG_R2 = 0, 1, 2
+_TAG_MAP = {"Both": TAG_BOTH, "R1": TAG_R1, "R2": TAG_R2}
+
+
+def _chrom_index(raw: pd.Series, label_to_idx: Dict[str, int]) -> np.ndarray:
+    lab = raw.astype(str).str.replace("^chr", "", regex=True)
+    return lab.map(label_to_idx).fillna(-1).astype(np.int32).to_numpy()
+
+
+def label_index(genome: Genome) -> Dict[str, int]:
+    return {c: i for i, c in enumerate(genome.labels)}
+
+
+def read_valid_bed(paths: Sequence[str], genome: Genome):
+    """Concatenate valid-bed files → (c1, p1, c2, p2) filtered to the genome."""
+    c1s, p1s, c2s, p2s = [], [], [], []
+    idx = label_index(genome)
+    for path in paths:
+        if os.path.getsize(path) == 0:
+            continue
+        # rows are ragged (15 or 23 columns): declare the full width
+        df = pd.read_csv(path, sep="\t", header=None, usecols=[1, 6, 8, 13],
+                         names=[str(i) for i in range(23)], dtype=str)
+        df.columns = ["c1", "p1", "c2", "p2"]
+        c1 = _chrom_index(df["c1"], idx)
+        c2 = _chrom_index(df["c2"], idx)
+        keep = (c1 >= 0) & (c2 >= 0)
+        c1s.append(c1[keep])
+        c2s.append(c2[keep])
+        p1s.append(df["p1"].astype(np.int64).to_numpy()[keep])
+        p2s.append(df["p2"].astype(np.int64).to_numpy()[keep])
+    if not c1s:
+        z = np.zeros(0, np.int32)
+        return z, z.astype(np.int64), z.copy(), z.astype(np.int64)
+    return (np.concatenate(c1s), np.concatenate(p1s),
+            np.concatenate(c2s), np.concatenate(p2s))
+
+
+def read_allelic_bed(paths: Sequence[str], genome: Genome, with_tag: bool):
+    """Concatenate allelic-bed files → (c1, p1, c2, p2[, tag]).
+
+    ``genome`` here is the *base* (non-haplotype) registry; labels in the
+    files are plain chromosome names.
+    """
+    idx = label_index(genome)
+    c1s, p1s, c2s, p2s, tags = [], [], [], [], []
+    for path in paths:
+        if os.path.getsize(path) == 0:
+            continue
+        usecols = [0, 1, 2, 3, 4] if with_tag else [0, 1, 2, 3]
+        names = ["c1", "p1", "c2", "p2", "tag"][: len(usecols)]
+        df = pd.read_csv(path, sep="\t", header=None, usecols=usecols,
+                         names=names, dtype=str)
+        c1 = _chrom_index(df["c1"], idx)
+        c2 = _chrom_index(df["c2"], idx)
+        keep = (c1 >= 0) & (c2 >= 0)
+        c1s.append(c1[keep])
+        c2s.append(c2[keep])
+        p1s.append(df["p1"].astype(np.int64).to_numpy()[keep])
+        p2s.append(df["p2"].astype(np.int64).to_numpy()[keep])
+        if with_tag:
+            tags.append(
+                df["tag"].map(_TAG_MAP).fillna(-1).astype(np.int8).to_numpy()[keep]
+            )
+    if not c1s:
+        z32 = np.zeros(0, np.int32)
+        z64 = np.zeros(0, np.int64)
+        out = (z32, z64, z32.copy(), z64.copy())
+        return out + (np.zeros(0, np.int8),) if with_tag else out
+    out = (np.concatenate(c1s), np.concatenate(p1s),
+           np.concatenate(c2s), np.concatenate(p2s))
+    if with_tag:
+        return out + (np.concatenate(tags),)
+    return out
+
+
+def discover_allelic_beds(bed_path: str) -> Dict[str, List[str]]:
+    """Locate the five allelic bed classes (matrixBuilding.py:1061-1075)."""
+    kinds = ["Bi_Allelic", "M_M", "P_P", "M_P", "P_M"]
+    out: Dict[str, List[str]] = {k: [] for k in kinds}
+    for f in sorted(os.listdir(bed_path)):
+        for k in kinds:
+            if f.endswith(f"{k}.bed"):
+                out[k].append(os.path.join(bed_path, f))
+    missing = [k for k, v in out.items() if not v]
+    if missing:
+        raise FileNotFoundError(
+            f"Missing allelic bed class(es) {missing} in {bed_path}"
+        )
+    return out
+
+
+def bed_prefix(files: Sequence[str]) -> str:
+    """Cell prefix, e.g. ``GM12878_R1_`` from ``GM12878_R1_Valid_M_M.bed``
+    (matrixBuilding.py:1065)."""
+    base = os.path.basename(sorted(files)[0])
+    return base.split("Valid")[0]

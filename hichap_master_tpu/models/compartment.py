@@ -1,0 +1,267 @@
+"""Compartment calling (A/B) — PCA of the gap-filtered O/E correlation map.
+
+Behavioral spec: HiCHap/StructureFind.py:197-703.  The heavy math (distance
+decay, O/E, correlation, top-3 PCA) runs jitted on padded tensors; the small
+PC-selection heuristics stay host-side numpy:
+
+* unsupervised (traditional) selection ``select_pc_new``
+  (StructureFind.py:374-423): pick the component maximizing
+  within-A/B-minus-cross correlation contrast, then orient so the A side
+  (higher intra-O/E mean) is positive;
+* supervised (allelic) selection ``select_allelic_pc``
+  (StructureFind.py:446-460): pick the component best correlated with the
+  traditional PC of the same chromosome, warn when |r| < 0.7.
+
+Uses RAW (unbalanced) matrices as the reference does (StructureFind.py:513).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.contacts import pad_to_bucket
+from ..io.cooler import CoolerReader
+from ..ops.expected import (
+    correlation_matrix,
+    default_compartment_gap,
+    distance_decay,
+    oe_matrix,
+    oe_matrix_sliding,
+)
+from ..ops.pca import pca_components
+from ..utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+# ----------------------------------------------------------- pc selection
+def select_pc_new(cor: np.ndarray, oe_ng: np.ndarray,
+                  pcs: np.ndarray) -> np.ndarray:
+    """Unsupervised PC pick + A/B orientation (StructureFind.py:374-423)."""
+
+    def means_minus(matrix, pc, eps=1e-5):
+        locis = np.arange(len(pc))
+        mask_a = pc > 0
+        mask_b = pc < 0
+        la, lb = locis[mask_a], locis[mask_b]
+        if la.size == 0 or lb.size == 0:
+            return 0.0
+        size_a = la.max() - la.min()
+        size_b = lb.max() - lb.min()
+        lens = max(la.max(), lb.max()) - min(la.min(), lb.min())
+        ma = matrix[mask_a][:, mask_a]
+        mb = matrix[mask_b][:, mask_b]
+        mab = matrix[mask_a][:, mask_b]
+        va = ma[(ma > -1) & (ma < 1 - eps)]
+        vb = mb[(mb > -1) & (mb < 1 - eps)]
+        vab = mab[(mab > -1) & (mab < 1)]
+        vsame = np.hstack((va, vb))
+        if (vab.shape[0] == 0 or vab.mean() == 0 or vab.mean() == -1
+                or size_a <= lens / 2 or size_b <= lens / 2):
+            return 0.0
+        return vsame.mean() - vab.mean()
+
+    def select_ab(oe, pc):
+        mask_a = pc > 0
+        mask_b = pc < 0
+        sub_a = oe[mask_a][:, mask_a]
+        sub_b = oe[mask_b][:, mask_b]
+        va = sub_a[sub_a != 0]
+        vb = sub_b[sub_b != 0]
+        mean_a = va.mean() if va.size else np.nan
+        mean_b = vb.mean() if vb.size else np.nan
+        if np.isfinite(mean_a) and np.isfinite(mean_b) and mean_b > mean_a:
+            return -pc
+        return pc
+
+    best, best_val = 0, 0.0
+    for i in range(len(pcs)):
+        v = means_minus(cor, pcs[i])
+        if v > best_val:
+            best_val = v
+            best = i
+    return select_ab(oe_ng, pcs[best].copy())
+
+
+def select_allelic_pc(pcs_full: np.ndarray, traditional_pc: np.ndarray,
+                      eps: float = 0.7) -> np.ndarray:
+    """Supervised pick by |corr| with the traditional PC (StructureFind.py:446)."""
+    pcc = []
+    for pc in pcs_full:
+        r = np.corrcoef(pc, traditional_pc)[0][1]
+        pcc.append(abs(r) if np.isfinite(r) else 0.0)
+    if np.max(pcc) < eps:
+        log.warning("PCC too low for this chromosome, check it if possible!")
+    return pcs_full[int(np.argmax(pcc))]
+
+
+def load_pc_track(path: str) -> Dict[str, np.ndarray]:
+    """Read a 2-column (chrom, value) PC text file (StructureFind.py:426-443)."""
+    out: Dict[str, List[float]] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                out.setdefault(parts[0], []).append(float(parts[-1]))
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+# ------------------------------------------------------------- per-chrom
+def single_chrom_compartment(M: np.ndarray, res: int, sliding: bool = False,
+                             pca_method: str = "subspace"):
+    """Gap/decay/OE/correlation/PCA for one raw matrix.
+
+    Returns dict with 'gap' (bool [n]), 'nongap' (index array), 'decay',
+    'oe' ([n, n]), 'cor' ([g, g] over non-gap columns), 'pcs' ([3, g]).
+    """
+    n = M.shape[0]
+    N = pad_to_bucket(n)
+    Mp = np.zeros((N, N), np.float32)
+    Mp[:n, :n] = M
+    Mj = jnp.asarray(Mp)
+    nj = jnp.asarray(n)
+
+    gap = np.asarray(default_compartment_gap(Mj, nj))[:n]
+    gapj = jnp.asarray(np.pad(gap, (0, N - n), constant_values=True))
+    decay = distance_decay(Mj, gapj, nj)
+    if sliding:
+        step = 600_000 // res // 2
+        oe = oe_matrix_sliding(Mj, decay, nj, step)
+    else:
+        oe = oe_matrix(Mj, decay, nj)
+
+    nongap = np.flatnonzero(~gap)
+    g = len(nongap)
+    oe_host = np.asarray(oe)[:n, :n]
+
+    # correlation over non-gap columns, all rows (reference slices cols only)
+    Xp = np.zeros((N, N), np.float32)
+    Xp[:n, :g] = oe_host[:, nongap]
+    cor = correlation_matrix(jnp.asarray(Xp), nj)
+    cor_host = np.asarray(cor)[:g, :g]
+
+    Cp = np.zeros((N, N), np.float32)
+    Cp[:g, :g] = cor_host
+    pcs, _ = pca_components(jnp.asarray(Cp), jnp.asarray(g), k=3,
+                            method=pca_method)
+    pcs_host = np.asarray(pcs)[:, :g]
+
+    return {
+        "gap": gap,
+        "nongap": nongap,
+        "decay": np.asarray(decay)[:n],
+        "oe": oe_host,
+        "cor": cor_host,
+        "pcs": pcs_host,
+    }
+
+
+# ---------------------------------------------------------------- driver
+def run_compartment(cooler_path: str, res: int, allelic,
+                    out_path: str, sliding: bool = False,
+                    traditional_pc_file: Optional[str] = None,
+                    pca_method: str = "subspace",
+                    plot: bool = False) -> Dict[str, np.ndarray]:
+    """Full compartment run; writes ``<prefix>_Compartment_<res>.txt``.
+
+    ``allelic`` is False / 'Maternal' / 'Paternal' (reference API).
+    Returns {chrom: full-length signed PC track}.
+    """
+    reader = CoolerReader(cooler_path, res)
+    if allelic is False or allelic is None:
+        chroms = reader.chromnames
+    elif allelic == "Maternal":
+        chroms = [c for c in reader.chromnames if c.startswith("M")]
+    elif allelic == "Paternal":
+        chroms = [c for c in reader.chromnames if c.startswith("P")]
+    else:
+        raise ValueError(f"Unknown allelic key {allelic!r}")
+
+    trad_pc = None
+    if allelic:
+        if traditional_pc_file is None:
+            raise ValueError("allelic compartment calling needs the "
+                             "traditional PC file for supervised selection")
+        trad_pc = load_pc_track(traditional_pc_file)
+
+    tracks: Dict[str, np.ndarray] = {}
+    extras = {}
+    for chro in chroms:
+        M = reader.matrix(chro, balance=False)
+        r = single_chrom_compartment(M, res, sliding, pca_method)
+        n = M.shape[0]
+        full = np.zeros(n)
+        if not allelic:
+            pc = select_pc_new(r["cor"], r["oe"][r["nongap"]][:, r["nongap"]],
+                               r["pcs"])
+            full[r["nongap"]] = pc
+        else:
+            pcs_full = np.zeros((len(r["pcs"]), n))
+            for i in range(len(r["pcs"])):
+                pcs_full[i, r["nongap"]] = r["pcs"][i]
+            pc_sel = select_allelic_pc(pcs_full, trad_pc[chro[1:]])
+            full[r["nongap"]] = pc_sel[r["nongap"]]
+        tracks[chro] = full
+        extras[chro] = r
+        log.log(21, "compartment %s done (%d bins, %d gaps)", chro, n,
+                int(r["gap"].sum()))
+
+    os.makedirs(out_path, exist_ok=True)
+    prefix = os.path.basename(out_path.rstrip("/"))
+    unit = _proper_unit(res)
+    txt = os.path.join(out_path, f"{prefix}_Compartment_{unit}.txt")
+    with open(txt, "w") as f:
+        for chro, pc in tracks.items():
+            name = chro[1:] if allelic else chro
+            for v in pc:
+                f.write(f"{name}\t{v}\n")
+    if plot:
+        pdf = os.path.join(out_path, f"{prefix}_Compartment_IF_{unit}.pdf")
+        _plot_compartment(pdf, reader, tracks, res, allelic)
+    return tracks
+
+
+def _proper_unit(pos: int) -> str:
+    """Genomic position pretty-printer (StructureFind.py:159-172)."""
+    i_part = int(pos) // 1_000_000
+    d_part = (int(pos) % 1_000_000) // 1_000
+    if i_part > 0 and d_part > 0:
+        return f"{i_part}M{d_part}K"
+    if i_part == 0:
+        return f"{d_part}K"
+    return f"{i_part}M"
+
+
+def _plot_compartment(pdf_path, reader, tracks, res, allelic):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.backends.backend_pdf import PdfPages
+    from matplotlib.colors import LinearSegmentedColormap
+
+    cmap = LinearSegmentedColormap.from_list("interactions",
+                                             ["#FFFFFF", "#CD0000"])
+    with PdfPages(pdf_path) as pp:
+        for chro, sig in tracks.items():
+            M = reader.matrix(chro, balance=False)
+            nz = M[np.nonzero(M)]
+            vmax = np.percentile(nz, 95) if nz.size else 1.0
+            fig, (ax_sig, ax) = plt.subplots(
+                2, 1, figsize=(10, 9),
+                gridspec_kw={"height_ratios": [1, 6]})
+            ax.imshow(M, cmap=cmap, aspect="auto", interpolation="none",
+                      vmin=0, vmax=vmax, origin="lower")
+            label = chro[1:] if allelic else chro
+            ax.set_xlabel(f"Chr{label}", size=14)
+            x = np.arange(len(sig))
+            ax_sig.fill_between(x, sig, where=sig <= 0, color="#7093DB")
+            ax_sig.fill_between(x, sig, where=sig >= 0, color="#E47833")
+            ax_sig.set_xlim(0, len(sig))
+            ax_sig.set_ylabel("PC", size=12)
+            ax_sig.set_xticks([])
+            pp.savefig(fig)
+            plt.close(fig)

@@ -1,0 +1,434 @@
+"""Chromatin-loop calling — HICCUPS-style donut test, TPU formulation.
+
+Behavioral spec: HiCHap/StructureFind.py:1571-2373.  Stages:
+
+1. per chromosome, isotonic-regression expected curve over balanced diagonal
+   means (StructureFind.py:2027-2036);
+2. donut (K) and lower-left (Y) local backgrounds for every candidate pixel,
+   with the ≥16-reads window-escalation ladder (ww → maxww, abort when <10%
+   of the remaining pixels resolve) — computed here as summed-area-table
+   rectangle stencils gathered at candidate pixels (ops/loops_kernel.py)
+   instead of the reference's per-width sparse-diagonal accumulation;
+3. λ-chunked Poisson p-values + per-chunk BH-FDR at sig 0.05
+   (StructureFind.py:1869-1902), gap-neighborhood (±5 bins) removal, K∩Y;
+4. traditional-only selection by distance-quantile ratio and raw strength
+   (``Loop_Selecting``; the reference hardcodes 40 kb at
+   StructureFind.py:2078-2079 — parameterized here, see DIVERGENCES.md);
+5. iterative centroid clustering with weighted-q thresholding
+   (``LoopCluster``; the reference mutates a list during iteration, skipping
+   elements non-deterministically — fixed here, see DIVERGENCES.md).
+
+Allelic mode: biases = 1 (matrices already two-step corrected), gap +
+zero-neighbor pixel pre-filter (the reference's ``right`` neighbor reads the
+``left`` cell twice, StructureFind.py:1739-1745 — fixed), per-chromosome
+15th-percentile IF·(−log10 q) final threshold.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.cooler import CoolerReader
+from ..ops.loops_kernel import band_limit, sat
+from ..ops.stats import bh_fdr, isotonic_fit, poisson_sf
+from ..utils.logging import get_logger
+from .compartment import _proper_unit
+
+log = get_logger(__name__)
+
+
+def peaks_parameters(res: int):
+    """Resolution-scaled widths (StructureFind.py:1575-1617)."""
+    if res >= 20000:
+        pw, ww = 1, 3
+    elif res >= 10000:
+        pw, ww = 2, 5
+    else:
+        pw, ww = 4, 7
+    return dict(pw=pw, ww=ww, maxww=20, maxapart=2_000_000, sig=0.05)
+
+
+def lambda_chunks(E: np.ndarray):
+    """Power-of-2^(1/3) λ bins (StructureFind.py:1619-1632)."""
+    if E.size == 0 or E.max() <= 0:
+        return []
+    numbin = int(np.ceil(np.log(E.max()) / np.log(2) * 3 + 1))
+    pool = []
+    for i in range(1, numbin + 1):
+        if i == 1:
+            lv, rv = 0.0, 1.0
+        else:
+            lv = np.power(2, (i - 2) / 3.0)
+            rv = np.power(2, (i - 1) / 3.0)
+        idx = np.where((E > lv) & (E < rv))[0]
+        pool.append((lv, rv, idx))
+    return pool
+
+
+# ------------------------------------------------------- pixel stencils
+def _rect_at(S, xi, yi, r0, r1, c0, c1):
+    N = S.shape[0] - 1
+    a0 = jnp.clip(xi + r0, 0, N)
+    a1 = jnp.clip(xi + r1 + 1, 0, N)
+    b0 = jnp.clip(yi + c0, 0, N)
+    b1 = jnp.clip(yi + c1 + 1, 0, N)
+    return S[a1, b1] - S[a0, b1] - S[a1, b0] + S[a0, b0]
+
+
+def _donut_at(S, xi, yi, w, pw):
+    return (_rect_at(S, xi, yi, -w, w, -w, w)
+            - _rect_at(S, xi, yi, 0, 0, -w, w)
+            - _rect_at(S, xi, yi, -w, w, 0, 0)
+            - _rect_at(S, xi, yi, -pw, pw, -pw, pw)
+            + _rect_at(S, xi, yi, 0, 0, -pw, pw)
+            + _rect_at(S, xi, yi, -pw, pw, 0, 0))
+
+
+def _lowerleft_at(S, xi, yi, w, pw):
+    return (_rect_at(S, xi, yi, 1, w, -w, -1)
+            - _rect_at(S, xi, yi, 1, pw, -pw, -1))
+
+
+@functools.partial(jax.jit, static_argnames=("w", "pw"))
+def _level_at_pixels(S_raw, S_exp, S_bal, xi, yi, w, pw):
+    return (
+        _lowerleft_at(S_raw, xi, yi, w, pw),
+        _donut_at(S_bal, xi, yi, w, pw),
+        _donut_at(S_exp, xi, yi, w, pw),
+        _lowerleft_at(S_bal, xi, yi, w, pw),
+        _lowerleft_at(S_exp, xi, yi, w, pw),
+    )
+
+
+# ----------------------------------------------------------- per chrom
+def pcaller_chrom(raw: np.ndarray, balanced: np.ndarray, biases: np.ndarray,
+                  res: int, params, allelic: bool = False,
+                  gap: Optional[np.ndarray] = None):
+    """HICCUPS backgrounds + Poisson/BH for one chromosome.
+
+    raw      : integer contact matrix (diagonal included)
+    balanced : balanced (or corrected) matrix, nan→0
+    biases   : 1/weight per bin (ones in allelic mode)
+    Returns (donuts, lowerleft) dicts keyed by (loc1_bp, loc2_bp) with values
+    (IF, fold, pvalue, qvalue), intersected on common positions.
+    """
+    pw, ww = params["pw"], params["ww"]
+    maxww, maxapart, sig = params["maxww"], params["maxapart"], params["sig"]
+    N = raw.shape[0]
+    num = maxapart // res + maxww + 1
+
+    H = raw - np.diag(np.diagonal(raw))
+    x = np.arange(ww, num)
+    cdiag_means = np.array([np.diagonal(balanced, d).mean() if d < N else 0.0
+                            for d in x])
+    ir = isotonic_fit(x, cdiag_means, increasing="auto")
+    predictE = np.clip(ir.predict(x), 0, None)
+
+    # Band-limited device matrices + SATs.
+    Hj = jnp.asarray(H, jnp.float32)
+    M_band = band_limit(Hj, 0, num)
+    cM_band = band_limit(jnp.asarray(balanced, jnp.float32), ww, num)
+    i_idx = np.arange(N)
+    EM = np.zeros((N, N), np.float32)
+    for k, d in enumerate(x):
+        if d < N:
+            EM[i_idx[: N - d], i_idx[: N - d] + d] = predictE[k]
+    S_raw = sat(M_band)
+    S_bal = sat(cM_band)
+    S_exp = sat(jnp.asarray(EM))
+
+    # Candidate pixels.
+    M_host = np.asarray(M_band)
+    xi, yi = np.nonzero(M_host)
+    sel = ((yi - xi) >= ww) & ((yi - xi) <= maxapart // res)
+    xi, yi = xi[sel], yi[sel]
+
+    if allelic:
+        gap_set = set(gap.tolist()) if gap is not None else set()
+        Hfull = raw
+        keep = np.ones(xi.size, bool)
+        for k in range(xi.size):
+            if xi[k] in gap_set and yi[k] in gap_set:
+                keep[k] = False
+                continue
+            left = Hfull[xi[k] - 1, yi[k]] if xi[k] - 1 >= 0 else 1
+            right = Hfull[xi[k] + 1, yi[k]] if xi[k] + 1 < N else 1
+            top = Hfull[xi[k], yi[k] + 1] if yi[k] + 1 < N else 1
+            bottom = Hfull[xi[k], yi[k] - 1] if yi[k] - 1 >= 0 else 1
+            if left * right * top * bottom == 0:
+                keep[k] = False
+        xi, yi = xi[keep], yi[keep]
+
+    log.log(21, "observed contact number: %d", xi.size)
+    P = xi.size
+    bSV = {fl: np.zeros(P) for fl in "KY"}
+    bEV = {fl: np.zeros(P) for fl in "KY"}
+    ref_idx = np.arange(P)
+    ref_mask = np.ones(P, bool)
+    ini = P
+    xj, yj = jnp.asarray(xi), jnp.asarray(yi)
+
+    for w in range(ww, maxww + 1):
+        reads, bsk, bek, bsy, bey = [np.asarray(a) for a in _level_at_pixels(
+            S_raw, S_exp, S_bal, xj, yj, w, pw)]
+        rn = reads[ref_idx]
+        eidx = ref_idx[rn >= 16]
+        bSV["K"][eidx] = bsk[eidx]
+        bEV["K"][eidx] = bek[eidx]
+        bSV["Y"][eidx] = bsy[eidx]
+        bEV["Y"][eidx] = bey[eidx]
+        ref_idx = ref_idx[rn < 16]
+        ratio = eidx.size / float(ini) if ini else 0.0
+        ini = ref_idx.size
+        if ratio < 0.1:
+            break
+    ref_mask[ref_idx] = False
+
+    mask = (bEV["K"] != 0) & (bEV["Y"] != 0) & ref_mask
+    xi, yi = xi[mask], yi[mask]
+    brv = {fl: bSV[fl][mask] / bEV[fl][mask] for fl in "KY"}
+    em_val = EM[xi, yi]
+    o_val = M_host[xi, yi]
+    gaps = set(np.where(M_host.sum(axis=1) == 0)[0].tolist())
+
+    out = {}
+    for fl in "KY":
+        nz = brv[fl] != 0
+        pxi, pyi = xi[nz], yi[nz]
+        e = em_val[nz] * brv[fl][nz] * biases[pxi] * biases[pyi]
+        good = e > 0
+        pxi, pyi, e = pxi[good], pyi[good], e[good]
+        o = o_val[nz][good]
+        fold = o / e
+        pv = np.ones(e.size)
+        qv = np.ones(e.size)
+        for lv, rv, idx in lambda_chunks(e):
+            if idx.size > 0:
+                # reference: 1 - poisson(rv).cdf(O)  == P(X > O)
+                chunk_p = poisson_sf(o[idx], rv)
+                pv[idx] = chunk_p
+                qv[idx] = bh_fdr(chunk_p)
+        rej = qv <= sig
+        pxi, pyi = pxi[rej], pyi[rej]
+        o, e, fold, pv, qv = o[rej], e[rej], fold[rej], pv[rej], qv[rej]
+        if gaps:
+            keep = []
+            for k in range(pxi.size):
+                lo = pxi[k] - 5 if pxi[k] > 5 else 0
+                hi = pxi[k] + 5 if pxi[k] + 5 < N else N - 1
+                c1 = set(range(lo, hi))
+                lo = pyi[k] - 5 if pyi[k] > 5 else 0
+                hi = pyi[k] + 5 if pyi[k] + 5 < N else N - 1
+                c2 = set(range(lo, hi))
+                if not (c1 | c2) & gaps:
+                    keep.append(k)
+            keep = np.asarray(keep, int)
+            pxi, pyi = pxi[keep], pyi[keep]
+            o, e, fold, pv, qv = (o[keep], e[keep], fold[keep], pv[keep],
+                                  qv[keep])
+        out[fl] = {
+            (int(a) * res, int(b) * res): (float(ov), float(fv), float(pvv),
+                                           float(qvv))
+            for a, b, ov, fv, pvv, qvv in zip(pxi, pyi, o, fold, pv, qv)
+        }
+
+    common = set(out["K"]) & set(out["Y"])
+    donuts = {pos: out["K"][pos] for pos in common}
+    lowerleft = {pos: out["Y"][pos] for pos in common}
+    return donuts, lowerleft
+
+
+# --------------------------------------------------------------- driver
+def call_peaks(cooler_path: str, res: int, allelic, outfil: str,
+               gap_file: Optional[str] = None) -> Dict[str, np.ndarray]:
+    """CallPeaks parity (StructureFind.py:1954-2060).  Returns raw matrices
+    cache {chrom: matrix} used by selection/clustering."""
+    reader = CoolerReader(cooler_path, res)
+    if allelic is False or allelic is None:
+        chroms = reader.chromnames
+    elif allelic in ("Maternal", "Paternal"):
+        chroms = [c for c in reader.chromnames
+                  if c.startswith(allelic[0])]
+        if gap_file is None:
+            raise ValueError("Gap file needed for haplotype loop calling")
+        gaps_npz = np.load(gap_file, allow_pickle=True)
+        gap_lib = gaps_npz[str(res)][()]
+    else:
+        raise ValueError(f"Unknown allelic key {allelic!r}")
+
+    params = peaks_parameters(res)
+    matrices = {}
+    head = "\t".join(["chromLabel", "loc_1", "loc_2", "IF", "D-Enrichment",
+                      "D-pvalue", "D-qvalue", "LL-Enrichment", "LL-pvalue",
+                      "LL-qvalue"]) + "\n"
+    with open(outfil, "w") as f:
+        f.write(head)
+        for chro in chroms:
+            H = reader.matrix(chro, balance=False)
+            matrices[chro] = H
+            if not allelic:
+                cH = np.nan_to_num(reader.matrix(chro, balance=True))
+                wt = reader.bins_weight(chro)
+                mask = np.logical_not(wt == 0) | np.isnan(wt)
+                biases = np.zeros_like(wt)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    biases[mask] = 1.0 / wt[mask]
+                gap = None
+            else:
+                cH = H.copy()
+                biases = np.ones(H.shape[0])
+                gap = np.asarray(gap_lib[chro])
+            donuts, ll = pcaller_chrom(H, cH, biases, res, params,
+                                       allelic=bool(allelic), gap=gap)
+            label = chro[1:] if allelic else chro
+            for pos in donuts:
+                row = (label,) + pos + donuts[pos] + ll[pos][1:]
+                f.write("%s\t%d\t%d\t%.4g\t%.4g\t%.4g\t%.4g\t%.4g\t%.4g\t%.4g\n"
+                        % row)
+            log.log(21, "loops %s: %d candidates", chro, len(donuts))
+    return matrices
+
+
+def loop_selecting(matrices, res: int, input_fil: str, output_fil: str,
+                   loop_ratio: float = 0.6, loop_strength: float = 16):
+    """Distance-quantile + strength post-filter (StructureFind.py:2063-2094;
+    resolution parameterized instead of the hardcoded 40 kb)."""
+    import bisect
+
+    with open(input_fil) as f, open(output_fil, "w") as o:
+        header = f.readline()
+        o.write(header)
+        for line in f:
+            l = line.split()
+            chro = l[0]
+            b1 = int(l[1]) // res
+            b2 = int(l[2]) // res
+            M = matrices[chro]
+            IF = M[b1, b2]
+            dist = np.sort(np.diagonal(M, b2 - b1).copy())
+            ratio = bisect.bisect_left(dist, IF) / len(dist)
+            if ratio < loop_ratio or IF < loop_strength:
+                continue
+            o.write(line)
+
+
+def _cluster_pass(loops: List[tuple], dis: float) -> List[List[tuple]]:
+    """Greedy centroid clustering, one scan per cluster (reference
+    peakcluster semantics minus its mutate-during-iterate skip)."""
+    classes = []
+    remaining = sorted(loops, key=lambda t: t[1])
+    while remaining:
+        cls = [remaining.pop(0)]
+        cx = float(np.mean([m[1] for m in cls]))
+        cy = float(np.mean([m[2] for m in cls]))
+        kept = []
+        for lp in remaining:
+            if math.sqrt((cx - lp[1]) ** 2 + (cy - lp[2]) ** 2) <= dis:
+                cls.append(lp)
+                cx = float(np.mean([m[1] for m in cls]))
+                cy = float(np.mean([m[2] for m in cls]))
+            else:
+                kept.append(lp)
+        remaining = kept
+        classes.append(cls)
+    return classes
+
+
+def loop_cluster(matrices, res: int, rawfil: str, allelic,
+                 weight_q_value: float = 1e-4) -> str:
+    """Iterative centroid clustering + weighted-q final selection
+    (StructureFind.py:2154-2243)."""
+    rows = []
+    with open(rawfil) as f:
+        f.readline()
+        for line in f:
+            l = line.split()
+            rows.append((l[0], int(l[1]), int(l[2]), float(l[9])))
+    init_dis = res * math.sqrt(2) + 1000
+    by_chrom: Dict[str, List[tuple]] = {}
+    for r in rows:
+        by_chrom.setdefault(r[0], []).append(r)
+
+    # pass 1: representative = min-q member, count absorbed
+    level1 = []
+    for chro, lps in by_chrom.items():
+        for cls in _cluster_pass(lps, init_dis):
+            best = min(cls, key=lambda t: t[3])
+            level1.append((best[0], best[1], best[2], best[3], float(len(cls))))
+
+    while True:
+        nxt = []
+        by_chrom2: Dict[str, List[tuple]] = {}
+        for r in level1:
+            by_chrom2.setdefault(r[0], []).append(r)
+        for chro, lps in by_chrom2.items():
+            for cls in _cluster_pass(lps, init_dis * 2):
+                best = min(cls, key=lambda t: t[3])
+                sums = sum(t[4] for t in cls)
+                nxt.append((best[0], best[1], best[2], best[3], sums))
+        if len(nxt) == len(level1):
+            level1 = nxt
+            break
+        level1 = nxt
+
+    path, fil = os.path.split(rawfil)
+    cluster_fil = os.path.join(path or ".", "Cluster_" + fil)
+    with open(cluster_fil, "w") as out:
+        out.write("chr\tstart\tend\tIF\tweight_Q-value\taggregateNum\n")
+        if not allelic:
+            for chro, s1, e1, q, sums in level1:
+                wq = q / (10 ** sums)
+                if wq < weight_q_value:
+                    x, y = s1 // res, e1 // res
+                    IF = matrices[chro][x, y]
+                    out.write(f"{chro}\t{s1}\t{e1}\t{IF}\t{wq}\t{sums}\n")
+        else:
+            pre = allelic[0]
+            weighted = []
+            for chro, s1, e1, q, sums in level1:
+                M = matrices[pre + chro]
+                x, y = s1 // res, e1 // res
+                wq = q / (10 ** sums)
+                if wq < weight_q_value:
+                    weighted.append((chro, s1, e1, float(M[x, y]),
+                                     max(wq, 1e-20), sums))
+            if weighted:
+                thr = {}
+                chros = {w[0] for w in weighted}
+                arr = np.array([w[3] * -np.log10(w[4]) for w in weighted])
+                labels = np.array([w[0] for w in weighted])
+                for chro in chros:
+                    thr[chro] = np.percentile(arr[labels == chro], 15)
+                for w, v in zip(weighted, arr):
+                    if v >= thr[w[0]]:
+                        out.write("\t".join(map(str, w)) + "\n")
+    return cluster_fil
+
+
+def run_loops(cooler_path: str, res: int, allelic, out_path: str,
+              gap_file: Optional[str] = None, loop_ratio: float = 0.6,
+              loop_strength: float = 16, plot: bool = False) -> str:
+    """run_Loops parity (StructureFind.py:2340-2373).  Returns the final
+    Cluster_ file path."""
+    os.makedirs(out_path, exist_ok=True)
+    unit = _proper_unit(res)
+    prefix = os.path.basename(out_path.rstrip("/"))
+    outfil = os.path.join(out_path, f"{prefix}_Loops_{unit}.txt")
+    matrices = call_peaks(cooler_path, res, allelic, outfil, gap_file)
+    if not allelic:
+        select_fil = os.path.join(out_path,
+                                  f"Selected_{prefix}_Loops_{unit}.txt")
+        loop_selecting(matrices, res, outfil, select_fil, loop_ratio,
+                       loop_strength)
+        final = loop_cluster(matrices, res, select_fil, allelic)
+    else:
+        final = loop_cluster(matrices, res, outfil, allelic)
+    log.log(21, "loops done → %s", final)
+    return final

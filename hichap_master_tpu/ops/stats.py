@@ -1,0 +1,122 @@
+"""Statistical primitives: BH-FDR, Poisson tails, isotonic regression (PAVA).
+
+statsmodels and sklearn.isotonic are reference dependencies
+(HiCHap/StructureFind.py:12-16); both are re-implemented here to keep the
+framework self-contained.  ``bh_fdr`` matches
+``statsmodels...multipletests(method='fdr_bh')`` corrected p-values;
+``isotonic_fit``/``isotonic_predict`` match
+``sklearn.isotonic.IsotonicRegression(increasing='auto')`` with linear
+interpolation and edge clipping.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.special import gammainc, gammaincc
+
+
+def bh_fdr(pvalues: np.ndarray) -> np.ndarray:
+    """Benjamini-Hochberg corrected p-values (monotone, clipped to 1)."""
+    p = np.asarray(pvalues, dtype=float)
+    n = p.size
+    if n == 0:
+        return p.copy()
+    order = np.argsort(p)
+    ranked = p[order] * n / np.arange(1, n + 1)
+    ranked = np.minimum.accumulate(ranked[::-1])[::-1]
+    ranked = np.clip(ranked, 0, 1)
+    out = np.empty(n)
+    out[order] = ranked
+    return out
+
+
+def poisson_sf(k: np.ndarray, mu: np.ndarray) -> np.ndarray:
+    """P(X > k) for X ~ Poisson(mu), k floored like scipy's discrete cdf.
+
+    ``1 - poisson.cdf(k, mu) = gammainc(floor(k)+1, mu)`` (regularized lower
+    incomplete gamma)."""
+    k = np.floor(np.asarray(k, dtype=float))
+    mu = np.asarray(mu, dtype=float)
+    return gammainc(k + 1.0, mu)
+
+
+def poisson_cdf(k: np.ndarray, mu: np.ndarray) -> np.ndarray:
+    k = np.floor(np.asarray(k, dtype=float))
+    return gammaincc(k + 1.0, np.asarray(mu, dtype=float))
+
+
+def _pava(y: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Pool-adjacent-violators for a nondecreasing fit."""
+    n = len(y)
+    sol = y.astype(float).copy()
+    wgt = w.astype(float).copy()
+    # block representation
+    means = list(sol)
+    weights = list(wgt)
+    counts = [1] * n
+    i = 0
+    while i < len(means) - 1:
+        if means[i] > means[i + 1] + 1e-15:
+            tot = weights[i] + weights[i + 1]
+            m = (means[i] * weights[i] + means[i + 1] * weights[i + 1]) / tot
+            means[i] = m
+            weights[i] = tot
+            counts[i] += counts[i + 1]
+            del means[i + 1], weights[i + 1], counts[i + 1]
+            if i > 0:
+                i -= 1
+        else:
+            i += 1
+    out = np.empty(n)
+    pos = 0
+    for m, c in zip(means, counts):
+        out[pos : pos + c] = m
+        pos += c
+    return out
+
+
+class IsotonicFit:
+    """Monotone regression with sklearn-compatible predict()."""
+
+    def __init__(self, x: np.ndarray, y_fit: np.ndarray):
+        self.x = np.asarray(x, float)
+        self.y = np.asarray(y_fit, float)
+
+    def predict(self, xq: np.ndarray) -> np.ndarray:
+        xq = np.clip(np.asarray(xq, float), self.x[0], self.x[-1])
+        return np.interp(xq, self.x, self.y)
+
+
+def isotonic_fit(x: np.ndarray, y: np.ndarray,
+                 increasing: str | bool = "auto") -> IsotonicFit:
+    x = np.asarray(x, float)
+    y = np.asarray(y, float)
+    order = np.argsort(x)
+    xs, ys = x[order], y[order]
+    w = np.ones_like(ys)
+    if increasing == "auto":
+        # sklearn's check_increasing: sign of Spearman correlation
+        rx = np.argsort(np.argsort(xs))
+        ry = np.argsort(np.argsort(ys))
+        rho = np.corrcoef(rx, ry)[0, 1]
+        inc = bool(rho >= 0)
+    else:
+        inc = bool(increasing)
+    if inc:
+        fit = _pava(ys, w)
+    else:
+        fit = -_pava(-ys, w)
+    return IsotonicFit(xs, fit)
+
+
+def ttest_rel(a: np.ndarray, b: np.ndarray):
+    """Paired t-test, scipy.stats.ttest_rel parity (two-sided)."""
+    from scipy import stats as _st
+
+    return _st.ttest_rel(a, b)
+
+
+def norm_sf(x):
+    from scipy import stats as _st
+
+    return _st.norm.sf(x)

@@ -1,0 +1,359 @@
+"""Hi-C noise filtering and maternal/paternal allelic assignment.
+
+Spec: HiCHap/filtering.py.
+
+``hic_filtering`` (cFiltering parity, filtering.py:126-432): sort all chunk
+bed records by (chr1, strand1, pos1, chr2, strand2, pos2), drop consecutive
+duplicates, classify self-circle / dangling-end / unknown-mechanism pairs on
+the same fragment and extra-dangling-ends (≤500 bp, facing) across
+fragments, write ``*_Valid.bed`` + a stats block.  Sorting and
+classification are vectorized numpy (lexsort + boolean algebra) instead of
+the reference's external merge sort; duplicates compare the six key fields
+directly rather than the reference's collision-prone ASCII-sum pair ID
+(filtering.py:146-158; see DIVERGENCES.md).
+
+``allelic_filtering`` (aFiltering parity, filtering.py:437-1291): name-sort
+the maternal and paternal valid beds, merge-join on pair name, and assign
+each pair to Bi_Allelic / M_M / P_P / M_P / P_M with the reference's
+per-mate rules (same position ±5 → SNP-count dominance; different position
+→ AS-score gap ≥ MAX_DIFF_SCORE plus SNP dominance), candidate-mate
+fallback included, emitting the 16-entry statistics dictionary.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..utils.logging import get_logger
+
+log = get_logger(__name__)
+
+MAX_DIFF_SCORE = 18  # filtering.py:447
+
+
+# --------------------------------------------------------- HiC filtering
+def hic_filtering(bed_dir: str, out_dir: str, allelic: str = "NonAllelic",
+                  clean: bool = True) -> Dict[str, int]:
+    """Duplicate removal + SC/DE/UM/ED classification → ``*_Valid.bed``."""
+    os.makedirs(out_dir, exist_ok=True)
+    if allelic != "NonAllelic":
+        files = [f for f in sorted(os.listdir(bed_dir))
+                 if allelic in f and "chunk" in f and f.endswith(".bed")]
+    else:
+        files = [f for f in sorted(os.listdir(bed_dir))
+                 if "chunk" in f and f.endswith(".bed")]
+    if not files:
+        raise FileNotFoundError(f"no chunk beds under {bed_dir}")
+    prefix = files[0].split("chunk")[0]
+
+    lines: List[str] = []
+    for f in files:
+        with open(os.path.join(bed_dir, f)) as fh:
+            lines.extend(fh)
+    stats = dict(Total=0, Duplicates=0, Valid=0, SelfCircle=0,
+                 DanglingEnds=0, UnknownMechanism=0, ExtraDanglingEnds=0)
+    if allelic != "NonAllelic":
+        out_bed = os.path.join(out_dir, f"{prefix}{allelic}_Valid.bed")
+    else:
+        out_bed = os.path.join(out_dir, f"{prefix}Valid.bed")
+
+    if not lines:
+        open(out_bed, "w").close()
+        return stats
+
+    # Key columns only; rows are ragged (15 or 23 columns).
+    keys = [ln.split("\t", 14) for ln in lines]
+    c1 = np.array([k[1] for k in keys])
+    s1 = np.array([int(k[2]) for k in keys])
+    p1 = np.array([int(k[3]) for k in keys])
+    c2 = np.array([k[8] for k in keys])
+    s2 = np.array([int(k[9]) for k in keys])
+    p2 = np.array([int(k[10]) for k in keys])
+    f1 = np.array([int(k[6]) for k in keys])
+    f2 = np.array([int(k[13]) for k in keys])
+
+    order = np.lexsort((p2, s2, c2, p1, s1, c1))
+    c1, s1, p1, c2, s2, p2, f1, f2 = (a[order] for a in
+                                      (c1, s1, p1, c2, s2, p2, f1, f2))
+    lines = [lines[i] for i in order]
+
+    n = len(lines)
+    stats["Total"] = n
+    first = np.ones(n, bool)
+    if n > 1:
+        same = ((c1[1:] == c1[:-1]) & (s1[1:] == s1[:-1]) & (p1[1:] == p1[:-1])
+                & (c2[1:] == c2[:-1]) & (s2[1:] == s2[:-1])
+                & (p2[1:] == p2[:-1]))
+        first[1:] = ~same
+    stats["Duplicates"] = int((~first).sum())
+
+    same_chrom = c1 == c2
+    same_frag = same_chrom & (f1 == f2)
+    fwd_rev = (s1 == 0) & (s2 == 16)
+    rev_fwd = (s1 == 16) & (s2 == 0)
+    lt = p1 < p2
+
+    de = same_frag & ((lt & fwd_rev) | (~lt & rev_fwd))
+    sc = same_frag & ((lt & rev_fwd) | (~lt & fwd_rev))
+    um = same_frag & ~de & ~sc
+    ed = (same_chrom & ~same_frag & (np.abs(p1 - p2) <= 500)
+          & ((lt & fwd_rev) | (~lt & rev_fwd)))
+
+    stats["SelfCircle"] = int((sc & first).sum())
+    stats["DanglingEnds"] = int((de & first).sum())
+    stats["UnknownMechanism"] = int((um & first).sum())
+    stats["ExtraDanglingEnds"] = int((ed & first).sum())
+    valid = first & ~sc & ~de & ~um & ~ed
+    stats["Valid"] = int(valid.sum())
+
+    with open(out_bed, "w") as out:
+        out.writelines(ln for ln, v in zip(lines, valid) if v)
+    log.log(21, "HiC filtering (%s): %s", allelic, stats)
+    if clean:
+        for f in files:
+            os.remove(os.path.join(bed_dir, f))
+    return stats
+
+
+# ------------------------------------------------------ allelic assignment
+def _sub_search(m_c, m_pos, m_score, m_snps, p_c, p_pos, p_score, p_snps):
+    """Per-mate allelic decision (filtering.py:552-592)."""
+    if m_c == p_c and abs(m_pos - p_pos) <= 5:
+        if m_snps > 2 * p_snps:
+            return "M"
+        if 2 * m_snps < p_snps:
+            return "P"
+        return "N"
+    if (m_score - p_score) >= MAX_DIFF_SCORE and m_snps >= 2 * p_snps:
+        return "M"
+    if (p_score - m_score) >= MAX_DIFF_SCORE and p_snps >= 2 * m_snps:
+        return "P"
+    return "N"
+
+
+def _candidate_ok(info: List[str]) -> bool:
+    """Candidate usability (filtering.py:507-546): candidate must share
+    chromosome + fragment with the mate it extends."""
+    cand = info[-1]
+    if cand == "R1":
+        return info[1] == info[15] and int(info[6]) == int(info[20])
+    return info[8] == info[15] and int(info[13]) == int(info[20])
+
+
+class _Mate:
+    __slots__ = ("c", "pos", "frag", "score", "snps")
+
+    def __init__(self, info, base):
+        self.c = info[base]
+        self.pos = int(info[base + 2])
+        self.frag = int(info[base + 5])
+        self.score = int(info[base + 4])
+        self.snps = int(info[base + 6])
+
+
+def _both_mapping(m_info: List[str], p_info: List[str]):
+    """Pair present in both parental beds (filtering.py:599-881).
+    Returns (mark1+mark2, bed columns)."""
+    mm = [_Mate(m_info, 1), _Mate(m_info, 8)]
+    pp = [_Mate(p_info, 1), _Mate(p_info, 8)]
+
+    def search(i):
+        return _sub_search(mm[i].c, mm[i].pos, mm[i].score, mm[i].snps,
+                           pp[i].c, pp[i].pos, pp[i].score, pp[i].snps)
+
+    def line(i, mark):
+        src = mm[i] if mark in ("N", "M") else pp[i]
+        return [src.c, src.frag]
+
+    marks = [search(0), search(1)]
+    lines = [line(0, marks[0]), line(1, marks[1])]
+
+    def retry_with_candidate(i, info, mates):
+        """Swap in the candidate columns for mate i and re-search
+        (filtering.py:684-722 pattern)."""
+        mates[i] = _Mate(info, 15)
+        mk = search(i)
+        if mk == "M":
+            lines[i] = [mm[i].c, mm[i].frag]
+            marks[i] = "M"
+        elif mk == "P":
+            lines[i] = [pp[i].c, pp[i].frag]
+            marks[i] = "P"
+
+    m_cand = len(m_info) > 15
+    p_cand = len(p_info) > 15
+    if m_cand and not p_cand:
+        which = m_info[-1]
+        if _candidate_ok(m_info):
+            i = 0 if which == "R1" else 1
+            if marks[i] == "N":
+                retry_with_candidate(i, m_info, mm)
+    elif p_cand and not m_cand:
+        which = p_info[-1]
+        if _candidate_ok(p_info):
+            i = 0 if which == "R1" else 1
+            if marks[i] == "N":
+                retry_with_candidate(i, p_info, pp)
+    elif m_cand and p_cand:
+        which = m_info[-1]
+        i = 0 if which == "R1" else 1
+        if marks[i] == "N":
+            if _candidate_ok(m_info):
+                mm[i] = _Mate(m_info, 15)
+            if _candidate_ok(p_info):
+                pp[i] = _Mate(p_info, 15)
+            mk = search(i)
+            if mk == "M":
+                lines[i] = [mm[i].c, mm[i].frag]
+                marks[i] = "M"
+            elif mk == "P":
+                lines[i] = [pp[i].c, pp[i].frag]
+                marks[i] = "P"
+
+    return marks[0] + marks[1], lines[0] + lines[1]
+
+
+def _specific_mapping(info: List[str]):
+    """Pair mapped to only one parental genome (filtering.py:888-983)."""
+    snp1 = int(info[7])
+    snp2 = int(info[14])
+    lines = [info[1], info[6], info[8], info[13]]
+    has_cand = len(info) > 15
+
+    if snp1 != 0 and snp2 != 0:
+        return "Both", lines + ["Both"]
+    if snp1 != 0 and snp2 == 0:
+        if has_cand and info[-1] == "R2" and _candidate_ok(info) \
+                and int(info[21]) != 0:
+            return "Both", [info[1], info[6], info[15], info[20], "Both"]
+        return "R1", lines + ["R1"]
+    if snp1 == 0 and snp2 != 0:
+        if has_cand and info[-1] == "R1" and _candidate_ok(info) \
+                and int(info[21]) != 0:
+            return "Both", [info[15], info[20], info[8], info[13], "Both"]
+        return "R2", lines + ["R2"]
+    # neither normal mate has SNPs: candidate rescue (filtering.py:960-977)
+    if has_cand and _candidate_ok(info) and int(info[21]) != 0:
+        if info[-1] == "R1":
+            return "R1", [info[15], info[20], info[8], info[13], "R1"]
+        return "R2", [info[1], info[6], info[15], info[20], "R2"]
+    return "N", lines
+
+
+def allelic_filtering(maternal_bed: str, paternal_bed: str, out_dir: str
+                      ) -> Dict[str, float]:
+    """Merge-join the two name-sorted valid beds → the five allelic beds
+    (filtering.py:989-1291)."""
+    os.makedirs(out_dir, exist_ok=True)
+    prefix = os.path.split(maternal_bed)[-1].split("Maternal")[0] + "Valid"
+
+    def load_sorted(path):
+        rows = [line.split() for line in open(path)]
+        rows.sort(key=lambda r: r[0])
+        return rows
+
+    m_rows = load_sorted(maternal_bed)
+    p_rows = load_sorted(paternal_bed)
+
+    outs = {k: open(os.path.join(out_dir, f"{prefix}_{k}.bed"), "w")
+            for k in ("Bi_Allelic", "M_M", "P_P", "M_P", "P_M")}
+
+    S = dict(Bi_Allelic=0, Both_M=0, Both_P=0, Single_M=0, Single_P=0,
+             Regroup=0, Speci_M=0, Speci_P=0, Speci_M_single=0,
+             Speci_M_both=0, Speci_P_single=0, Speci_P_both=0)
+
+    def emit_specific(info, side):
+        mark, lines = _specific_mapping(info)
+        key = "M_M" if side == "M" else "P_P"
+        S[f"Speci_{side}"] += 1
+        if mark == "Both":
+            S[f"Both_{side}"] += 1
+            S[f"Speci_{side}_both"] += 1
+            outs[key].write("\t".join(map(str, lines)) + "\n")
+        elif mark in ("R1", "R2"):
+            S[f"Single_{side}"] += 1
+            S[f"Speci_{side}_single"] += 1
+            outs[key].write("\t".join(map(str, lines)) + "\n")
+        else:
+            S["Bi_Allelic"] += 1
+            outs["Bi_Allelic"].write("\t".join(map(str, lines)) + "\n")
+
+    i = j = 0
+    count = 0
+    while i < len(m_rows) or j < len(p_rows):
+        count += 1
+        if i >= len(m_rows):
+            emit_specific(p_rows[j], "P")
+            j += 1
+        elif j >= len(p_rows):
+            emit_specific(m_rows[i], "M")
+            i += 1
+        else:
+            mn, pn = m_rows[i][0], p_rows[j][0]
+            if mn < pn:
+                emit_specific(m_rows[i], "M")
+                i += 1
+            elif mn > pn:
+                emit_specific(p_rows[j], "P")
+                j += 1
+            else:
+                mark, lines = _both_mapping(m_rows[i], p_rows[j])
+                row = "\t".join(map(str, lines))
+                if mark == "NN":
+                    S["Bi_Allelic"] += 1
+                    outs["Bi_Allelic"].write(row + "\n")
+                elif mark == "NM":
+                    S["Single_M"] += 1
+                    outs["M_M"].write(row + "\tR2\n")
+                elif mark == "MN":
+                    S["Single_M"] += 1
+                    outs["M_M"].write(row + "\tR1\n")
+                elif mark == "MM":
+                    S["Both_M"] += 1
+                    outs["M_M"].write(row + "\tBoth\n")
+                elif mark == "NP":
+                    S["Single_P"] += 1
+                    outs["P_P"].write(row + "\tR2\n")
+                elif mark == "PN":
+                    S["Single_P"] += 1
+                    outs["P_P"].write(row + "\tR1\n")
+                elif mark == "PP":
+                    S["Both_P"] += 1
+                    outs["P_P"].write(row + "\tBoth\n")
+                elif mark == "MP":
+                    S["Regroup"] += 1
+                    outs["M_P"].write(row + "\n")
+                elif mark == "PM":
+                    S["Regroup"] += 1
+                    outs["P_M"].write(row + "\n")
+                i += 1
+                j += 1
+    for f in outs.values():
+        f.close()
+
+    total = count
+    allelic_n = S["Both_M"] + S["Both_P"] + S["Single_M"] + S["Single_P"]
+    report = {
+        "Total_valid_pairs": total,
+        "Bi_Allelic_pairs": S["Bi_Allelic"],
+        "Maternal_Allelic_pairs": S["Both_M"] + S["Single_M"],
+        "Paternal_Allelic_pairs": S["Both_P"] + S["Single_P"],
+        "Maternal_both_sides_pairs": S["Both_M"],
+        "Paternal_both_sides_pairs": S["Both_P"],
+        "Maternal_single_side_pairs": S["Single_M"],
+        "Paternal_single_side_pairs": S["Single_P"],
+        "Speci_Maternal_Mapping_pairs": S["Speci_M"],
+        "Speci_Paternal_Mapping_pairs": S["Speci_P"],
+        "Speci_Maternal_both_sides_pairs": S["Speci_M_both"],
+        "Speci_Paternal_both_sides_pairs": S["Speci_P_both"],
+        "Speci_Maternal_single_sides_pairs": S["Speci_M_single"],
+        "Speci_Paternal_single_sides_pairs": S["Speci_P_single"],
+        "Recombination_pairs": S["Regroup"],
+        "Allelic_Ratio": allelic_n / total if total else 0.0,
+    }
+    log.log(21, "allelic filtering: %s", report)
+    return report

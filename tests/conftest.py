@@ -9,7 +9,10 @@ tests against float64 NumPy/SciPy oracles are meaningful.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the harness presets JAX_PLATFORMS=axon (the tunneled TPU), and
+# running the suite there means slow tunnel compiles + single-device
+# contention with any concurrent driver script.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
