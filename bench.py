@@ -1,0 +1,120 @@
+"""Benchmark: genome-wide ICE balancing iteration throughput at 10 kb.
+
+BASELINE.json's primary metric is "genome-wide ICE iters/sec at 10kb".  The
+reference delegates balancing to the ``cooler balance`` CLI (a NumPy/scipy
+loop on host CPU); the baseline here is that same matvec iteration measured
+in float64 NumPy on this host, and ``vs_baseline`` is the TPU speedup over
+it on an identical chr1-scale (10 kb, ~25k-bin) matrix.
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the tunneled-TPU remote compile of
+    the balancing loop costs minutes; cache it across bench invocations."""
+    import jax
+
+    cache = os.path.join(_REPO, ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+N_BINS = 24_896          # chr1 at 10 kb (249 Mb / 10 kb), padded to 128
+PAD = 128 * ((N_BINS + 127) // 128)
+BENCH_ITERS = 50
+CPU_SAMPLE_ITERS = 3
+
+
+def _device_matrix(key_seed: int = 0):
+    """Synthetic chr1-scale contact matrix generated on-device (no 2.5 GB
+    host transfer)."""
+    import jax
+    import jax.numpy as jnp
+
+    def gen(key):
+        i = jnp.arange(PAD)
+        d = jnp.abs(i[:, None] - i[None, :]).astype(jnp.float32) + 1.0
+        lam = 60.0 / d
+        u = jax.random.uniform(key, (PAD, PAD), jnp.float32, 1e-6, 1.0)
+        # crude Poisson-ish counts: inverse-CDF of geometric tail
+        m = jnp.floor(-jnp.log(u) * lam)
+        m = jnp.triu(m)
+        m = m + jnp.triu(m, 1).T
+        valid = i < N_BINS
+        return m * valid[:, None] * valid[None, :]
+
+    return jax.jit(gen)(jax.random.PRNGKey(key_seed))
+
+
+def tpu_iters_per_sec() -> float:
+    import jax
+    import jax.numpy as jnp
+    from hichap_master_tpu.ops.balance import ice_balance
+
+    M = _device_matrix()
+    n = jnp.asarray(N_BINS)
+
+    def run():
+        w, stats = ice_balance(M, n, tol=0.0, max_iters=BENCH_ITERS)
+        # np.asarray forces a host transfer: on the axon platform
+        # block_until_ready returns before execution completes.
+        return np.asarray(w), int(stats["iters"])
+
+    run()  # compile + warm
+    t0 = time.perf_counter()
+    _, iters = run()
+    dt = time.perf_counter() - t0
+    return float(iters) / dt
+
+
+def cpu_iters_per_sec() -> float:
+    """float64 NumPy matvec ICE iteration (the cooler-balance inner loop)."""
+    rng = np.random.default_rng(0)
+    i = np.arange(N_BINS)
+    d = np.abs(np.subtract.outer(i, i)) + 1.0
+    M = np.floor(-np.log(rng.uniform(1e-6, 1, (N_BINS, N_BINS))) * (60.0 / d))
+    M = np.triu(M)
+    M = M + np.triu(M, 1).T
+    b = np.ones(N_BINS)
+    t0 = time.perf_counter()
+    for _ in range(CPU_SAMPLE_ITERS):
+        marg = (M @ b) * b
+        nz = marg != 0
+        scale = marg[nz].mean()
+        margn = marg / scale
+        margn[margn == 0] = 1
+        b = b / margn
+    dt = time.perf_counter() - t0
+    return CPU_SAMPLE_ITERS / dt
+
+
+def main():
+    _enable_compile_cache()
+    tpu = tpu_iters_per_sec()
+    cpu = cpu_iters_per_sec()
+    print(json.dumps({
+        "metric": "genomewide_ice_iters_per_sec_10kb_chr1",
+        "value": round(tpu, 2),
+        "unit": "iters/s",
+        "vs_baseline": round(tpu / cpu, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

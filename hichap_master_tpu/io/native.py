@@ -1,0 +1,123 @@
+"""ctypes bindings for the native IO runtime (native/hicio.cpp).
+
+Builds ``libhicio.so`` on first use with g++ (no pybind11 dependency) and
+falls back to pure-Python implementations when a compiler is unavailable.
+Provides the external-memory sorts the filtering layer leans on:
+
+  * ``sort_file(in, out, mode)``  — mode "name" (whole-line lexicographic,
+    the allelic merge-join order, filtering.py:451-499) or "hic_key"
+    (chr1/strand1/pos1/chr2/strand2/pos2, the dedup order,
+    filtering.py:77-108);
+  * ``merge_sorted(paths, out, mode)`` — k-way merge of sorted files;
+  * ``count_lines(path)``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import shutil
+import subprocess
+from typing import List, Optional, Sequence
+
+from ..utils.logging import get_logger
+
+log = get_logger(__name__)
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "native", "hicio.cpp")
+_SO = os.path.join(os.path.dirname(_SRC), "libhicio.so")
+_MODES = {"name": 0, "hic_key": 1}
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> Optional[str]:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    gxx = shutil.which("g++")
+    if gxx is None:
+        return None
+    cmd = [gxx, "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError as e:
+        log.warning("hicio build failed: %s", e.stderr.decode()[:500])
+        return None
+    return _SO
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    so = _build()
+    if so is None:
+        log.warning("native hicio unavailable; using Python fallbacks")
+        return None
+    lib = ctypes.CDLL(so)
+    lib.hicio_sort_file.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                    ctypes.c_int]
+    lib.hicio_sort_file.restype = ctypes.c_int
+    lib.hicio_merge_sorted.argtypes = [ctypes.POINTER(ctypes.c_char_p),
+                                       ctypes.c_int, ctypes.c_char_p,
+                                       ctypes.c_int]
+    lib.hicio_merge_sorted.restype = ctypes.c_int
+    lib.hicio_count_lines.argtypes = [ctypes.c_char_p]
+    lib.hicio_count_lines.restype = ctypes.c_long
+    _lib = lib
+    return _lib
+
+
+def _py_key6(line: str):
+    f = line.split("\t")
+    return (f[1], int(f[2]), int(f[3]), f[8], int(f[9]), int(f[10]))
+
+
+def sort_file(in_path: str, out_path: str, mode: str = "name") -> None:
+    lib = get_lib()
+    if lib is not None:
+        rc = lib.hicio_sort_file(in_path.encode(), out_path.encode(),
+                                 _MODES[mode])
+        if rc == 0:
+            return
+        log.warning("hicio_sort_file rc=%d; Python fallback", rc)
+    with open(in_path) as f:
+        lines = f.readlines()
+    if mode == "name":
+        lines.sort()
+    else:
+        lines.sort(key=_py_key6)
+    with open(out_path, "w") as f:
+        f.writelines(lines)
+
+
+def merge_sorted(paths: Sequence[str], out_path: str,
+                 mode: str = "name") -> None:
+    lib = get_lib()
+    if lib is not None:
+        arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+        rc = lib.hicio_merge_sorted(arr, len(paths), out_path.encode(),
+                                    _MODES[mode])
+        if rc == 0:
+            return
+    import heapq
+
+    key = (lambda l: l) if mode == "name" else _py_key6
+    files = [open(p) for p in paths]
+    with open(out_path, "w") as out:
+        for line in heapq.merge(*files, key=key):
+            out.write(line)
+    for f in files:
+        f.close()
+
+
+def count_lines(path: str) -> int:
+    lib = get_lib()
+    if lib is not None:
+        n = lib.hicio_count_lines(path.encode())
+        if n >= 0:
+            return int(n)
+    with open(path) as f:
+        return sum(1 for _ in f)

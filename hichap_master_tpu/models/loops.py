@@ -412,6 +412,60 @@ def loop_cluster(matrices, res: int, rawfil: str, allelic,
     return cluster_fil
 
 
+def plot_loops(pdf_path: str, cooler_path: str, res: int, allelic,
+               cluster_file: str, matrices, length: int = 4_000_000) -> None:
+    """Per-window heatmaps with called loops marked
+    (StructureFind.py:2259-2337)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.backends.backend_pdf import PdfPages
+    from matplotlib.colors import LinearSegmentedColormap
+
+    reader = CoolerReader(cooler_path, res)
+    loops = []
+    with open(cluster_file) as f:
+        f.readline()
+        for line in f:
+            p = line.split()
+            loops.append((p[0], int(p[1]), int(p[2])))
+
+    cmap = LinearSegmentedColormap.from_list("interactions",
+                                             ["#FFFFFF", "#CD0000"])
+    chroms = sorted(matrices)
+    with PdfPages(pdf_path) as pp:
+        for chro in chroms:
+            if allelic:
+                M = matrices[chro]
+                label = chro[1:]
+            else:
+                M = np.nan_to_num(reader.matrix(chro, balance=True))
+                label = chro
+            sub = [l for l in loops if l[0] == label]
+            N = M.shape[0]
+            interval = max(length // res, 1)
+            start = 0
+            while start + interval <= N:
+                end = start + interval
+                W = M[start:end, start:end]
+                sel = [l for l in sub if start * res <= l[1]
+                       and l[2] <= end * res]
+                nz = W[np.nonzero(W)]
+                if nz.size > 100 and sel:
+                    fig, ax = plt.subplots(figsize=(10, 9))
+                    ax.imshow(W, cmap=cmap, aspect="auto",
+                              interpolation="none",
+                              vmax=np.percentile(nz, 95), origin="lower")
+                    for _, s, e in sel:
+                        ax.scatter(s // res - start + 0.5,
+                                   e // res - start + 0.5,
+                                   facecolors="none", edgecolors="b", s=10)
+                    ax.set_xlabel(f"Chr{label}", size=14)
+                    pp.savefig(fig)
+                    plt.close(fig)
+                start = end
+
+
 def run_loops(cooler_path: str, res: int, allelic, out_path: str,
               gap_file: Optional[str] = None, loop_ratio: float = 0.6,
               loop_strength: float = 16, plot: bool = False) -> str:
@@ -430,5 +484,8 @@ def run_loops(cooler_path: str, res: int, allelic, out_path: str,
         final = loop_cluster(matrices, res, select_fil, allelic)
     else:
         final = loop_cluster(matrices, res, outfil, allelic)
+    if plot:
+        pdf = os.path.join(out_path, f"{prefix}_Loops_Plot_{unit}.pdf")
+        plot_loops(pdf, cooler_path, res, allelic, final, matrices)
     log.log(21, "loops done → %s", final)
     return final

@@ -1,0 +1,208 @@
+// hicio — native IO runtime for hichap_master_tpu.
+//
+// The heaviest host-side stages of the pipeline are external sorts and
+// merge-joins over multi-GB bed text (the reference spends its time in
+// Python string splits + heapq merges, HiCHap/filtering.py:77-121,451-499).
+// This module provides the native equivalents, exposed through a plain C ABI
+// consumed via ctypes (no pybind11 dependency):
+//
+//   hicio_sort_file(in, out, mode)   — external-memory line sort
+//        mode 0: whole-line lexicographic (pair-name sort for the allelic
+//                merge-join; byte order == Python str order for ASCII)
+//        mode 1: HiC dedup key (chr1, strand1, pos1, chr2, strand2, pos2) =
+//                columns 1,2,3,8,9,10 with numeric positions
+//   hicio_merge_sorted(files, n, out) — k-way merge of sorted files
+//   hicio_count_lines(path)
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC hicio.cpp -o libhicio.so
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <queue>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Key6 {
+    std::string c1, c2;
+    int s1 = 0, s2 = 0;
+    long p1 = 0, p2 = 0;
+};
+
+// Extract tab-separated field [begin,end) for column `col` of `line`.
+static bool field(const std::string& line, int col, size_t* b, size_t* e) {
+    size_t pos = 0;
+    for (int c = 0; c < col; ++c) {
+        pos = line.find('\t', pos);
+        if (pos == std::string::npos) return false;
+        ++pos;
+    }
+    size_t end = line.find('\t', pos);
+    if (end == std::string::npos) end = line.size();
+    *b = pos;
+    *e = end;
+    return true;
+}
+
+static Key6 key6(const std::string& line) {
+    Key6 k;
+    size_t b, e;
+    if (field(line, 1, &b, &e)) k.c1.assign(line, b, e - b);
+    if (field(line, 2, &b, &e)) k.s1 = std::atoi(line.c_str() + b);
+    if (field(line, 3, &b, &e)) k.p1 = std::atol(line.c_str() + b);
+    if (field(line, 8, &b, &e)) k.c2.assign(line, b, e - b);
+    if (field(line, 9, &b, &e)) k.s2 = std::atoi(line.c_str() + b);
+    if (field(line, 10, &b, &e)) k.p2 = std::atol(line.c_str() + b);
+    return k;
+}
+
+static bool less_key6(const std::string& a, const std::string& b) {
+    Key6 ka = key6(a), kb = key6(b);
+    if (ka.c1 != kb.c1) return ka.c1 < kb.c1;
+    if (ka.s1 != kb.s1) return ka.s1 < kb.s1;
+    if (ka.p1 != kb.p1) return ka.p1 < kb.p1;
+    if (ka.c2 != kb.c2) return ka.c2 < kb.c2;
+    if (ka.s2 != kb.s2) return ka.s2 < kb.s2;
+    return ka.p2 < kb.p2;
+}
+
+static void sort_lines(std::vector<std::string>& lines, int mode) {
+    if (mode == 0) {
+        std::sort(lines.begin(), lines.end());
+    } else {
+        std::sort(lines.begin(), lines.end(), less_key6);
+    }
+}
+
+static const size_t CHUNK_BYTES = 512ull << 20;  // spill threshold
+
+}  // namespace
+
+extern "C" {
+
+long hicio_count_lines(const char* path) {
+    std::ifstream in(path);
+    if (!in) return -1;
+    long n = 0;
+    std::string line;
+    while (std::getline(in, line)) ++n;
+    return n;
+}
+
+// Returns 0 on success.  Spills sorted chunks to <out>.chk<i> when the input
+// exceeds the in-memory threshold, then k-way merges.
+int hicio_sort_file(const char* in_path, const char* out_path, int mode) {
+    std::ifstream in(in_path);
+    if (!in) return 1;
+
+    std::vector<std::string> chunk_files;
+    std::vector<std::string> lines;
+    size_t bytes = 0;
+    std::string line;
+
+    auto spill = [&](bool final_chunk) -> int {
+        sort_lines(lines, mode);
+        if (final_chunk && chunk_files.empty()) {
+            std::ofstream out(out_path);
+            if (!out) return 1;
+            for (auto& l : lines) out << l << '\n';
+            return 0;
+        }
+        std::string name = std::string(out_path) + ".chk" +
+                           std::to_string(chunk_files.size());
+        std::ofstream out(name);
+        if (!out) return 1;
+        for (auto& l : lines) out << l << '\n';
+        chunk_files.push_back(name);
+        lines.clear();
+        bytes = 0;
+        return 0;
+    };
+
+    while (std::getline(in, line)) {
+        bytes += line.size() + 1;
+        lines.push_back(std::move(line));
+        if (bytes >= CHUNK_BYTES) {
+            if (spill(false)) return 1;
+        }
+    }
+    if (chunk_files.empty()) return spill(true);
+    if (!lines.empty() && spill(false)) return 1;
+
+    // k-way merge of spilled chunks
+    struct Head {
+        std::string line;
+        size_t idx;
+    };
+    auto cmp_whole = [](const Head& a, const Head& b) { return a.line > b.line; };
+    auto cmp_k6 = [](const Head& a, const Head& b) {
+        return less_key6(b.line, a.line);
+    };
+
+    std::vector<std::ifstream> streams;
+    streams.reserve(chunk_files.size());
+    for (auto& f : chunk_files) streams.emplace_back(f);
+
+    std::ofstream out(out_path);
+    if (!out) return 1;
+
+    auto merge = [&](auto cmp) {
+        std::priority_queue<Head, std::vector<Head>, decltype(cmp)> pq(cmp);
+        for (size_t i = 0; i < streams.size(); ++i) {
+            std::string l;
+            if (std::getline(streams[i], l)) pq.push({std::move(l), i});
+        }
+        while (!pq.empty()) {
+            Head h = pq.top();
+            pq.pop();
+            out << h.line << '\n';
+            std::string l;
+            if (std::getline(streams[h.idx], l)) pq.push({std::move(l), h.idx});
+        }
+    };
+    if (mode == 0) merge(cmp_whole);
+    else merge(cmp_k6);
+
+    for (auto& f : chunk_files) std::remove(f.c_str());
+    return 0;
+}
+
+int hicio_merge_sorted(const char** paths, int n, const char* out_path,
+                       int mode) {
+    std::vector<std::ifstream> streams;
+    for (int i = 0; i < n; ++i) streams.emplace_back(paths[i]);
+    std::ofstream out(out_path);
+    if (!out) return 1;
+
+    struct Head {
+        std::string line;
+        size_t idx;
+    };
+    auto cmp_whole = [](const Head& a, const Head& b) { return a.line > b.line; };
+    auto cmp_k6 = [](const Head& a, const Head& b) {
+        return less_key6(b.line, a.line);
+    };
+    auto merge = [&](auto cmp) {
+        std::priority_queue<Head, std::vector<Head>, decltype(cmp)> pq(cmp);
+        for (size_t i = 0; i < streams.size(); ++i) {
+            std::string l;
+            if (std::getline(streams[i], l)) pq.push({std::move(l), i});
+        }
+        while (!pq.empty()) {
+            Head h = pq.top();
+            pq.pop();
+            out << h.line << '\n';
+            std::string l;
+            if (std::getline(streams[h.idx], l)) pq.push({std::move(l), h.idx});
+        }
+    };
+    if (mode == 0) merge(cmp_whole);
+    else merge(cmp_k6);
+    return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,8 @@
+from .sharding import (
+    make_mesh,
+    shard_chrom_batch,
+    sharded_ice_balance,
+    sharded_two_step,
+    sharded_genomewide_correction,
+    analysis_train_step,
+)

@@ -1,0 +1,128 @@
+"""Device-mesh sharding of the numerical core.
+
+The reference's only parallelism is process fan-out over file chunks
+(SURVEY.md §2.2); the TPU-native scaling axes are:
+
+* **chromosome batch** (the data-parallel analogue) — the padded
+  ``[C, N, N]`` batch shards over the ``chrom`` mesh axis; corrections are
+  embarrassingly parallel per chromosome;
+* **bin dimension** (the sequence/tensor-parallel analogue) — the
+  genome-wide matrix block-shards over the ``bins`` axis; balancing
+  marginals are matvecs whose contraction XLA partitions with ``psum``
+  collectives over ICI.
+
+Everything here annotates shardings on the *same* jitted functions used
+single-chip (ops/balance.py, ops/correct.py); GSPMD inserts the
+collectives.  ``analysis_train_step`` is the "full training step" used by
+``__graft_entry__.dryrun_multichip``: genome-wide ICE iteration
+(bins-sharded matvec + psum) fused with the per-chromosome two-step
+correction (chrom-sharded batch) in one compiled program.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.balance import ice_balance
+from ..ops.correct import two_step_correction
+
+
+def make_mesh(n_devices: int | None = None,
+              axis_names: Tuple[str, str] = ("chrom", "bins")) -> Mesh:
+    """A 2D mesh over the available devices; the chrom axis gets the larger
+    factor when the device count is not a perfect square."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    # factor n = a * b with a >= b, a as small as possible >= sqrt(n)
+    b = int(np.floor(np.sqrt(n)))
+    while n % b:
+        b -= 1
+    a = n // b
+    return Mesh(np.asarray(devs).reshape(a, b), axis_names)
+
+
+def shard_chrom_batch(batch: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """Place a [C, N, N] batch with chromosomes over the chrom axis and rows
+    over the bins axis."""
+    return jax.device_put(batch, NamedSharding(mesh, P("chrom", "bins", None)))
+
+
+def sharded_ice_balance(mesh: Mesh):
+    """Genome-wide ICE with the matrix block-sharded over the full mesh.
+
+    The per-iteration marginal ``M @ b`` contracts the column dimension;
+    with M sharded P('chrom','bins') the contraction reduces over the
+    ``bins`` axis — XLA emits a reduce-scatter/psum over ICI.
+    """
+    m_sharding = NamedSharding(mesh, P("chrom", "bins"))
+    rep = NamedSharding(mesh, P())
+
+    def fn(M, n):
+        return ice_balance(M, n, max_iters=50)
+
+    return jax.jit(fn, in_shardings=(m_sharding, rep),
+                   out_shardings=(rep, None))
+
+
+def sharded_two_step(mesh: Mesh):
+    """Per-chromosome two-step correction, batch sharded over chrom and the
+    row dimension sharded over bins."""
+    b_shard = NamedSharding(mesh, P("chrom", "bins", None))
+    n_shard = NamedSharding(mesh, P("chrom"))
+
+    fn = jax.vmap(two_step_correction, in_axes=(0, 0, 0, 0))
+    return jax.jit(fn, in_shardings=(b_shard, b_shard, b_shard, n_shard),
+                   out_shardings=(b_shard, b_shard, n_shard, n_shard))
+
+
+def sharded_genomewide_correction(mesh: Mesh):
+    """Genome-wide two-step: alpha scaling + symmetrization + VC(2/3) on a
+    bins-sharded matrix (row/col sums become cross-device reductions)."""
+    from ..ops.correct import genomewide_correction
+
+    m_sharding = NamedSharding(mesh, P("chrom", "bins"))
+    v_sharding = NamedSharding(mesh, P("bins"))
+    rep = NamedSharding(mesh, P())
+
+    def fn(H, alpha, total):
+        return genomewide_correction(H, alpha, total)
+
+    return jax.jit(fn, in_shardings=(m_sharding, v_sharding, rep),
+                   out_shardings=m_sharding)
+
+
+def analysis_train_step(mesh: Mesh):
+    """The framework's full "training step" over a device mesh:
+
+      1. genome-wide ICE iteration block (bins-sharded matvec, psum),
+      2. chromosome-batched two-step correction (chrom-sharded),
+      3. genome-wide alpha-corrected VC pass.
+
+    Returns a jitted fn(TM, MM, PM, n_bins, G, alpha) -> (nor_mm, nor_pm,
+    weights, corrected_G) compiled over the mesh.
+    """
+    b_shard = NamedSharding(mesh, P("chrom", "bins", None))
+    n_shard = NamedSharding(mesh, P("chrom"))
+    g_shard = NamedSharding(mesh, P("chrom", "bins"))
+    v_shard = NamedSharding(mesh, P("bins"))
+    rep = NamedSharding(mesh, P())
+
+    def step(TM, MM, PM, n_bins, G, alpha, total):
+        nor_mm, nor_pm, _, _ = jax.vmap(two_step_correction)(TM, MM, PM,
+                                                             n_bins)
+        w, _ = ice_balance(G, total, max_iters=20)
+        from ..ops.correct import genomewide_correction
+        corrected = genomewide_correction(G, alpha, total)
+        return nor_mm, nor_pm, w, corrected
+
+    return jax.jit(
+        step,
+        in_shardings=(b_shard, b_shard, b_shard, n_shard, g_shard, v_shard,
+                      rep),
+        out_shardings=(b_shard, b_shard, rep, g_shard))

@@ -252,8 +252,14 @@ def allelic_filtering(maternal_bed: str, paternal_bed: str, out_dir: str
     prefix = os.path.split(maternal_bed)[-1].split("Maternal")[0] + "Valid"
 
     def load_sorted(path):
-        rows = [line.split() for line in open(path)]
-        rows.sort(key=lambda r: r[0])
+        # native external-memory whole-line sort (reference sorts whole
+        # lines, filtering.py:474); Python fallback inside sort_file
+        from ..io.native import sort_file
+
+        tmp = path + ".name_sorted"
+        sort_file(path, tmp, "name")
+        rows = [line.split() for line in open(tmp)]
+        os.remove(tmp)
         return rows
 
     m_rows = load_sorted(maternal_bed)

@@ -138,6 +138,7 @@ class PBSExecutor:
                 self.submit_shell(cmd, name, threads, log_dir)
             while self._job_count(name) > 0:
                 time.sleep(self.poll_s)
+            time.sleep(self.poll_s)  # settle before output validation
             failed = [(c, o) for c, o in pending
                       if not RetryingExecutor._ok(o)]
             if failed:

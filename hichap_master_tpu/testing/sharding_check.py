@@ -1,0 +1,91 @@
+"""Multi-device sharding verification, run in a clean 8-device CPU process.
+
+Executed by tests/test_sharding.py via subprocess (the axon TPU plugin's
+early jax import prevents forcing virtual devices inside an already-running
+interpreter).  Checks that sharded results match single-device results
+exactly and prints one OK line per check.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    assert len(jax.devices()) >= 8, f"need 8 devices, got {len(jax.devices())}"
+
+    from hichap_master_tpu.core.contacts import pad_to_bucket
+    from hichap_master_tpu.ops.balance import ice_balance
+    from hichap_master_tpu.ops.correct import two_step_correction
+    from hichap_master_tpu.parallel import (
+        analysis_train_step,
+        make_mesh,
+        sharded_ice_balance,
+        sharded_two_step,
+    )
+    from hichap_master_tpu.testing.oracles import synthetic_contact_matrix
+
+    rng = np.random.default_rng(11)
+    mesh = make_mesh(8)
+    assert mesh.shape["chrom"] * mesh.shape["bins"] == 8
+    print(f"OK mesh {dict(mesh.shape)}")
+
+    # --- two-step: sharded == single device -------------------------------
+    C = mesh.shape["chrom"] * 2
+    n = 120
+    N = pad_to_bucket(n)
+    TM = np.zeros((C, N, N), np.float32)
+    for i in range(C):
+        TM[i, :n, :n] = synthetic_contact_matrix(rng, n, gap_frac=0.05,
+                                                 scale=80.0)
+    MM = (TM * 0.31).astype(np.float32)
+    PM = (TM * 0.29).astype(np.float32)
+    ns = np.full(C, n, np.int32)
+    fn = sharded_two_step(mesh)
+    s_mm, s_pm, s_gm, s_gp = fn(jnp.asarray(TM), jnp.asarray(MM),
+                                jnp.asarray(PM), jnp.asarray(ns))
+    for i in range(C):
+        r_mm, _, r_gm, _ = two_step_correction(
+            jnp.asarray(TM[i]), jnp.asarray(MM[i]), jnp.asarray(PM[i]),
+            jnp.asarray(n))
+        np.testing.assert_allclose(np.asarray(s_mm)[i], np.asarray(r_mm),
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(s_gm)[i], np.asarray(r_gm))
+    print("OK sharded two-step matches single-device")
+
+    # --- ICE: sharded == single device ------------------------------------
+    n2 = 200
+    S = 128 * 8
+    G = np.zeros((S, S), np.float32)
+    G[:n2, :n2] = synthetic_contact_matrix(rng, n2, gap_frac=0.0, scale=60.0)
+    fn2 = sharded_ice_balance(mesh)
+    w_sharded, _ = fn2(jnp.asarray(G), jnp.asarray(n2))
+    w_single, _ = ice_balance(jnp.asarray(G), jnp.asarray(n2), max_iters=50)
+    ws, w1 = np.asarray(w_sharded), np.asarray(w_single)
+    np.testing.assert_array_equal(np.isnan(ws), np.isnan(w1))
+    m = ~np.isnan(w1)
+    np.testing.assert_allclose(ws[m], w1[m], rtol=1e-4)
+    print("OK sharded ICE matches single-device")
+
+    # --- full train step runs over the mesh --------------------------------
+    step = analysis_train_step(mesh)
+    alpha = np.ones(S, np.float32)
+    nm, npm, w, cor = step(jnp.asarray(TM[:, :128, :128]),
+                           jnp.asarray(MM[:, :128, :128]),
+                           jnp.asarray(PM[:, :128, :128]),
+                           jnp.asarray(np.minimum(ns, 120)),
+                           jnp.asarray(G), jnp.asarray(alpha),
+                           jnp.asarray(S))
+    assert np.isfinite(np.asarray(nm)).all()
+    assert np.isfinite(np.asarray(cor)).all()
+    print("OK analysis_train_step over", dict(mesh.shape))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

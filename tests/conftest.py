@@ -11,7 +11,15 @@ import sys
 
 # Force CPU: the harness presets JAX_PLATFORMS=axon (the tunneled TPU), and
 # running the suite there means slow tunnel compiles + single-device
-# contention with any concurrent driver script.
+# contention with any concurrent driver script.  The axon sitecustomize also
+# imports jax at interpreter start, which locks in XLA_FLAGS before any user
+# code runs — so a virtual 8-device CPU mesh can only be had by re-executing
+# pytest with the plugin disabled and the flags already in the environment.
+# NOTE: the axon sitecustomize imports jax at interpreter start, so the
+# 8-device flag only works when it is in the environment *before* python
+# launches with the plugin disabled (PALLAS_AXON_POOL_IPS="").  Multi-device
+# tests therefore run their checks in a clean subprocess (test_sharding.py)
+# rather than relying on this process's device count.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
