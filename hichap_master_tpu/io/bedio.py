@@ -43,17 +43,22 @@ def read_valid_bed(paths: Sequence[str], genome: Genome):
     for path in paths:
         if os.path.getsize(path) == 0:
             continue
-        # rows are ragged (15 or 23 columns): declare the full width
-        df = pd.read_csv(path, sep="\t", header=None, usecols=[1, 6, 8, 13],
-                         names=[str(i) for i in range(23)], dtype=str)
-        df.columns = ["c1", "p1", "c2", "p2"]
-        c1 = _chrom_index(df["c1"], idx)
-        c2 = _chrom_index(df["c2"], idx)
+        # rows are ragged (15 or 23 columns): split only the needed prefix
+        raw_c1, raw_p1, raw_c2, raw_p2 = [], [], [], []
+        with open(path) as f:
+            for line in f:
+                fields = line.split("\t", 14)
+                raw_c1.append(fields[1])
+                raw_p1.append(fields[6])
+                raw_c2.append(fields[8])
+                raw_p2.append(fields[13])
+        c1 = _chrom_index(pd.Series(raw_c1), idx)
+        c2 = _chrom_index(pd.Series(raw_c2), idx)
         keep = (c1 >= 0) & (c2 >= 0)
         c1s.append(c1[keep])
         c2s.append(c2[keep])
-        p1s.append(df["p1"].astype(np.int64).to_numpy()[keep])
-        p2s.append(df["p2"].astype(np.int64).to_numpy()[keep])
+        p1s.append(np.asarray(raw_p1, dtype=np.int64)[keep])
+        p2s.append(np.asarray(raw_p2, dtype=np.int64)[keep])
     if not c1s:
         z = np.zeros(0, np.int32)
         return z, z.astype(np.int64), z.copy(), z.astype(np.int64)

@@ -243,23 +243,36 @@ class CoolerReader:
         s, e = self.chrom_offset[ci], self.chrom_offset[ci + 1]
         return w[s:e]
 
+    def _row_slice(self, g, s, e):
+        """Pixel index range covering bin1 in [s, e) via the bin1_offset
+        index — avoids scanning the whole pixel table per fetch."""
+        off = g["indexes/bin1_offset"]
+        return int(off[s]), int(off[e])
+
     def _fetch_block(self, ci: int, cj: int) -> np.ndarray:
-        with h5py.File(self.path, "r") as f:
-            g = f[self.grp]
-            b1 = g["pixels/bin1_id"][:]
-            b2 = g["pixels/bin2_id"][:]
-            v = g["pixels/count"][:]
-        s1, e1 = self.chrom_offset[ci], self.chrom_offset[ci + 1]
-        s2, e2 = self.chrom_offset[cj], self.chrom_offset[cj + 1]
+        s1, e1 = int(self.chrom_offset[ci]), int(self.chrom_offset[ci + 1])
+        s2, e2 = int(self.chrom_offset[cj]), int(self.chrom_offset[cj + 1])
         n1, n2 = e1 - s1, e2 - s2
         out = np.zeros((n1, n2), dtype=np.float64)
-        m = (b1 >= s1) & (b1 < e1) & (b2 >= s2) & (b2 < e2)
-        out[b1[m] - s1, b2[m] - s2] = v[m]
-        if ci == cj:
-            out = np.triu(out) + np.triu(out, 1).T
-        else:
-            m2 = (b1 >= s2) & (b1 < e2) & (b2 >= s1) & (b2 < e1)
-            out[b2[m2] - s1, b1[m2] - s2] = v[m2]
+        with h5py.File(self.path, "r") as f:
+            g = f[self.grp]
+            lo, hi = self._row_slice(g, s1, e1)
+            b1 = g["pixels/bin1_id"][lo:hi]
+            b2 = g["pixels/bin2_id"][lo:hi]
+            v = g["pixels/count"][lo:hi]
+            m = (b2 >= s2) & (b2 < e2)
+            out[b1[m] - s1, b2[m] - s2] = v[m]
+            if ci == cj:
+                out = np.triu(out) + np.triu(out, 1).T
+            else:
+                # symmetric-upper storage: the transposed block lives in
+                # rows of chromosome cj
+                lo, hi = self._row_slice(g, s2, e2)
+                b1 = g["pixels/bin1_id"][lo:hi]
+                b2 = g["pixels/bin2_id"][lo:hi]
+                v = g["pixels/count"][lo:hi]
+                m2 = (b2 >= s1) & (b2 < e1)
+                out[b2[m2] - s1, b1[m2] - s2] = v[m2]
         return out
 
     def matrix(self, label: str, balance: bool = False) -> np.ndarray:

@@ -165,7 +165,7 @@ def run_compartment(cooler_path: str, res: int, allelic,
                     out_path: str, sliding: bool = False,
                     traditional_pc_file: Optional[str] = None,
                     pca_method: str = "subspace",
-                    plot: bool = False) -> Dict[str, np.ndarray]:
+                    plot: bool = False, ms: str = "IF") -> Dict[str, np.ndarray]:
     """Full compartment run; writes ``<prefix>_Compartment_<res>.txt``.
 
     ``allelic`` is False / 'Maternal' / 'Paternal' (reference API).
@@ -220,8 +220,8 @@ def run_compartment(cooler_path: str, res: int, allelic,
             for v in pc:
                 f.write(f"{name}\t{v}\n")
     if plot:
-        pdf = os.path.join(out_path, f"{prefix}_Compartment_IF_{unit}.pdf")
-        _plot_compartment(pdf, reader, tracks, res, allelic)
+        pdf = os.path.join(out_path, f"{prefix}_Compartment_{ms}_{unit}.pdf")
+        _plot_compartment(pdf, reader, tracks, res, allelic, ms, extras)
     return tracks
 
 
@@ -236,25 +236,56 @@ def _proper_unit(pos: int) -> str:
     return f"{i_part}M"
 
 
-def _plot_compartment(pdf_path, reader, tracks, res, allelic):
+def _refill_gap(n: int, sub: np.ndarray, nongap: np.ndarray) -> np.ndarray:
+    """Re-insert gap rows/cols as zeros into a non-gap submatrix
+    (StructureFind.py:463-489 intent, without its OE-branch transpose bug)."""
+    out = np.zeros((n, n))
+    out[np.ix_(nongap, nongap)] = sub
+    return out
+
+
+def _plot_compartment(pdf_path, reader, tracks, res, allelic, ms="IF",
+                      extras=None):
+    """PDF heatmap + PC track; MS selects the matrix (IF raw / OE / Cor),
+    matching StructureFind.py:579-674."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     from matplotlib.backends.backend_pdf import PdfPages
     from matplotlib.colors import LinearSegmentedColormap
 
-    cmap = LinearSegmentedColormap.from_list("interactions",
-                                             ["#FFFFFF", "#CD0000"])
+    if ms == "IF":
+        cmap = LinearSegmentedColormap.from_list("interactions",
+                                                 ["#FFFFFF", "#CD0000"])
+    else:
+        cmap = LinearSegmentedColormap.from_list(
+            "interactions", ["#0000FF", "#FFFFFF", "#CD0000"])
     with PdfPages(pdf_path) as pp:
         for chro, sig in tracks.items():
-            M = reader.matrix(chro, balance=False)
+            if ms == "IF" or extras is None:
+                M = reader.matrix(chro, balance=False)
+            else:
+                r = extras[chro]
+                n = len(sig)
+                if ms == "OE":
+                    M = r["oe"]
+                else:  # Cor
+                    M = _refill_gap(n, r["cor"], r["nongap"])
             nz = M[np.nonzero(M)]
-            vmax = np.percentile(nz, 95) if nz.size else 1.0
+            if ms == "IF":
+                vmax = np.percentile(nz, 95) if nz.size else 1.0
+                vmin = 0
+            elif ms == "OE":
+                vmax = np.percentile(nz, 90) if nz.size else 1.0
+                vmin = 2 - vmax
+            else:
+                vmax = np.percentile(nz, 90) if nz.size else 1.0
+                vmin = -vmax
             fig, (ax_sig, ax) = plt.subplots(
                 2, 1, figsize=(10, 9),
                 gridspec_kw={"height_ratios": [1, 6]})
             ax.imshow(M, cmap=cmap, aspect="auto", interpolation="none",
-                      vmin=0, vmax=vmax, origin="lower")
+                      vmin=vmin, vmax=vmax, origin="lower")
             label = chro[1:] if allelic else chro
             ax.set_xlabel(f"Chr{label}", size=14)
             x = np.arange(len(sig))

@@ -285,8 +285,10 @@ def call_peaks(cooler_path: str, res: int, allelic, outfil: str,
                 cH = H.copy()
                 biases = np.ones(H.shape[0])
                 gap = np.asarray(gap_lib[chro])
-            donuts, ll = pcaller_chrom(H, cH, biases, res, params,
-                                       allelic=bool(allelic), gap=gap)
+            from ..utils.profiling import stage as _stage
+            with _stage(f"loops.pcaller[{chro}]"):
+                donuts, ll = pcaller_chrom(H, cH, biases, res, params,
+                                           allelic=bool(allelic), gap=gap)
             label = chro[1:] if allelic else chro
             for pos in donuts:
                 row = (label,) + pos + donuts[pos] + ll[pos][1:]

@@ -35,7 +35,7 @@ class StructureFind:
         return run_compartment(
             self.cooler_fil, self.Res, self.Allelic, OutPath, sliding=SA,
             traditional_pc_file=Tranditional_PC_file, plot=plot,
-            pca_method=pca_method)
+            pca_method=pca_method, ms=MS)
 
     def run_TADs(self, OutPath: str, **kwargs):
         return run_tads(

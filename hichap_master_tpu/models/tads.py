@@ -298,8 +298,10 @@ def run_tads(cooler_path: str, res: int, allelic, out_path: str,
 
     if not train_seqs:
         raise ValueError("no trainable DI segments — matrices too sparse?")
+    from ..utils.profiling import stage
     model = init_parameters(state_num)
-    model, hist = baum_welch(model, train_seqs)
+    with stage("tads.baum_welch"):
+        model, hist = baum_welch(model, train_seqs)
     log.log(21, "HMM trained: %d EM iters, loglik %.3f", len(hist), hist[-1])
 
     results = {}

@@ -244,8 +244,8 @@ def _specific_mapping(info: List[str]):
     return "N", lines
 
 
-def allelic_filtering(maternal_bed: str, paternal_bed: str, out_dir: str
-                      ) -> Dict[str, float]:
+def allelic_filtering(maternal_bed: str, paternal_bed: str, out_dir: str,
+                      save_id: bool = False) -> Dict[str, float]:
     """Merge-join the two name-sorted valid beds → the five allelic beds
     (filtering.py:989-1291)."""
     os.makedirs(out_dir, exist_ok=True)
@@ -274,6 +274,8 @@ def allelic_filtering(maternal_bed: str, paternal_bed: str, out_dir: str
 
     def emit_specific(info, side):
         mark, lines = _specific_mapping(info)
+        if save_id:
+            lines = [info[0]] + lines  # aFiltering(save_ID) parity
         key = "M_M" if side == "M" else "P_P"
         S[f"Speci_{side}"] += 1
         if mark == "Both":
@@ -308,6 +310,8 @@ def allelic_filtering(maternal_bed: str, paternal_bed: str, out_dir: str
                 j += 1
             else:
                 mark, lines = _both_mapping(m_rows[i], p_rows[j])
+                if save_id:
+                    lines = [m_rows[i][0]] + lines
                 row = "\t".join(map(str, lines))
                 if mark == "NN":
                     S["Bi_Allelic"] += 1

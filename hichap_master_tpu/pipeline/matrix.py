@@ -53,6 +53,7 @@ from ..ops.binning import (
 from ..ops.correct import genomewide_alpha, genomewide_correction, two_step_correction
 from ..ops.imputation import disk_offsets, impute_inter_chunk
 from ..utils.logging import get_logger
+from ..utils.profiling import stage
 
 log = get_logger(__name__)
 
@@ -514,14 +515,17 @@ def haplotype_matrix_construction(
     all_data = None
     out: Dict[str, Dict[str, str]] = {}
     for rep in rep_paths:
-        data = build_haplotype_datasets(
-            rep, genome, whole_res, local_res, imputation_region,
-            imputation_min, imputation_ratio)
-        bw, bl, gaps = correct_haplotype_datasets(data, genome, whole_res,
-                                                  local_res)
-        out[data["prefix"]] = _write_hap_coolers(
-            cooler_dir, data["prefix"], genome, hap, data, bw, bl, gaps,
-            whole_res, local_res)
+        with stage(f"matrix.build[{os.path.basename(rep.rstrip('/'))}]"):
+            data = build_haplotype_datasets(
+                rep, genome, whole_res, local_res, imputation_region,
+                imputation_min, imputation_ratio)
+        with stage("matrix.two_step_correction"):
+            bw, bl, gaps = correct_haplotype_datasets(data, genome, whole_res,
+                                                      local_res)
+        with stage("matrix.cooler_write"):
+            out[data["prefix"]] = _write_hap_coolers(
+                cooler_dir, data["prefix"], genome, hap, data, bw, bl, gaps,
+                whole_res, local_res)
         if all_data is None:
             all_data = data
         else:
