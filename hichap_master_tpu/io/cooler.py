@@ -146,8 +146,13 @@ class CoolerWriter:
                 del grp[k]
 
             labels = np.array(self.genome.labels, dtype="S64")
+            max_len = max(self.genome.sizes.values(), default=0)
+            # stock cooler uses int32 coordinates (every real chromosome
+            # fits); fall back to int64 for oversized synthetic genomes
+            coord_t = np.int32 if max_len < 2**31 else np.int64
             lengths = np.array(
-                [self.genome.sizes[c] for c in self.genome.labels], dtype=np.int32
+                [self.genome.sizes[c] for c in self.genome.labels],
+                dtype=coord_t,
             )
             chroms = grp.create_group("chroms")
             chroms.create_dataset("name", data=labels)
@@ -159,8 +164,8 @@ class CoolerWriter:
             )
             # cooler stores bins/chrom as an HDF5 enum of chrom names; plain
             # int32 indices keep the same values and remain readable.
-            bins.create_dataset("start", data=starts.astype(np.int32))
-            bins.create_dataset("end", data=ends.astype(np.int32))
+            bins.create_dataset("start", data=starts.astype(coord_t))
+            bins.create_dataset("end", data=ends.astype(coord_t))
             if weights is not None:
                 bins.create_dataset("weight", data=np.asarray(weights, np.float64))
 
@@ -274,6 +279,46 @@ class CoolerReader:
                 m2 = (b2 >= s1) & (b2 < e1)
                 out[b2[m2] - s1, b1[m2] - s2] = v[m2]
         return out
+
+    def fetch_coo(self, label: str):
+        """Intra-chromosome upper-triangle COO (rows, cols, vals), local
+        bin ids — the cheap representation for host→device upload."""
+        ci = self.chromnames.index(label)
+        s1, e1 = int(self.chrom_offset[ci]), int(self.chrom_offset[ci + 1])
+        with h5py.File(self.path, "r") as f:
+            g = f[self.grp]
+            lo, hi = self._row_slice(g, s1, e1)
+            b1 = g["pixels/bin1_id"][lo:hi]
+            b2 = g["pixels/bin2_id"][lo:hi]
+            v = g["pixels/count"][lo:hi]
+        m = (b2 >= s1) & (b2 < e1)
+        return (b1[m] - s1).astype(np.int32), (b2[m] - s1).astype(np.int32), \
+            v[m].astype(np.float32)
+
+    def matrix_device(self, label: str, padded: int | None = None,
+                      balance: bool = False):
+        """Dense symmetric matrix materialized ON DEVICE from the COO pixels
+        (uploads ~nnz*12 bytes instead of N² — host↔device links are the
+        bottleneck for big chromosomes).  Returns (jnp [P, P], n)."""
+        import jax.numpy as jnp
+
+        from ..core.contacts import pad_to_bucket
+
+        rows, cols, vals = self.fetch_coo(label)
+        ci = self.chromnames.index(label)
+        n = int(self.chrom_offset[ci + 1] - self.chrom_offset[ci])
+        P = padded or pad_to_bucket(n)
+        M = jnp.zeros((P, P), jnp.float32)
+        r = jnp.asarray(rows)
+        c = jnp.asarray(cols)
+        v = jnp.asarray(vals)
+        M = M.at[r, c].add(v)
+        M = M.at[c, r].add(jnp.where(r != c, v, 0.0))
+        if balance:
+            w = jnp.asarray(self.bins_weight(label), jnp.float32)
+            w = jnp.pad(w, (0, P - n))
+            M = M * w[:, None] * w[None, :]
+        return M, n
 
     def matrix(self, label: str, balance: bool = False) -> np.ndarray:
         ci = self.chromnames.index(label)

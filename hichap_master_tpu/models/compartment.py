@@ -110,6 +110,66 @@ def load_pc_track(path: str) -> Dict[str, np.ndarray]:
     return {k: np.asarray(v) for k, v in out.items()}
 
 
+# ------------------------------------------------- device-resident path
+def single_chrom_compartment_device(reader: CoolerReader, chro: str,
+                                    res: int, sliding: bool = False,
+                                    pca_method: str = "subspace",
+                                    want_matrices: bool = False):
+    """Compartment math with all big intermediates staying on device.
+
+    Host↔device transfers: COO pixels up, gap mask + non-gap index vector
+    (tiny) round trip, and the 3 components down — the O(N²) O/E and
+    correlation maps never cross the link unless ``want_matrices``.
+    """
+    import jax.numpy as jnp
+
+    Mj, n = reader.matrix_device(chro)
+    N = Mj.shape[0]
+    nj = jnp.asarray(n)
+
+    gapj = default_compartment_gap(Mj, nj)
+    gap = np.asarray(gapj)[:n]
+    decay = distance_decay(Mj, gapj, nj)
+    if sliding:
+        oe = oe_matrix_sliding(Mj, decay, nj, 600_000 // res // 2)
+    else:
+        oe = oe_matrix(Mj, decay, nj)
+
+    nongap = np.flatnonzero(~gap)
+    g = len(nongap)
+    ng_pad = np.zeros(N, np.int32)
+    ng_pad[:g] = nongap
+    ngj = jnp.asarray(ng_pad)
+    col_valid = (jnp.arange(N) < g)
+
+    # O/E restricted to non-gap columns (rows complete) → correlation
+    Xp = oe[:, ngj] * col_valid[None, :]
+    cor = correlation_matrix(Xp, nj)
+    cor = cor * (col_valid[:, None] & col_valid[None, :])
+
+    pcs, _ = pca_components(cor, jnp.asarray(g), k=3, method=pca_method)
+
+    # O/E restricted to non-gap rows AND columns (for A/B orientation)
+    oe_ng = Xp[ngj, :] * col_valid[:, None]
+
+    from ..ops.pc_select import select_pc_new_device
+
+    pc_signed = select_pc_new_device(cor, oe_ng, pcs, jnp.asarray(g))
+
+    out = {
+        "n": n,
+        "gap": gap,
+        "nongap": nongap,
+        "pcs": np.asarray(pcs)[:, :g],
+        "pc_signed": np.asarray(pc_signed)[:g],
+    }
+    if want_matrices:
+        out["oe"] = np.asarray(oe)[:n, :n]
+        out["cor"] = np.asarray(cor)[:g, :g]
+        out["decay"] = np.asarray(decay)[:n]
+    return out
+
+
 # ------------------------------------------------------------- per-chrom
 def single_chrom_compartment(M: np.ndarray, res: int, sliding: bool = False,
                              pca_method: str = "subspace"):
@@ -190,15 +250,15 @@ def run_compartment(cooler_path: str, res: int, allelic,
 
     tracks: Dict[str, np.ndarray] = {}
     extras = {}
+    want_mats = plot and ms in ("OE", "Cor")
     for chro in chroms:
-        M = reader.matrix(chro, balance=False)
-        r = single_chrom_compartment(M, res, sliding, pca_method)
-        n = M.shape[0]
+        r = single_chrom_compartment_device(reader, chro, res, sliding,
+                                            pca_method,
+                                            want_matrices=want_mats)
+        n = r["n"]
         full = np.zeros(n)
         if not allelic:
-            pc = select_pc_new(r["cor"], r["oe"][r["nongap"]][:, r["nongap"]],
-                               r["pcs"])
-            full[r["nongap"]] = pc
+            full[r["nongap"]] = r["pc_signed"]
         else:
             pcs_full = np.zeros((len(r["pcs"]), n))
             for i in range(len(r["pcs"])):

@@ -36,7 +36,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.cooler import CoolerReader
-from ..ops.loops_kernel import band_limit, sat
+from ..ops.loops_kernel import (
+    band_limit,
+    donut_at_stable,
+    lowerleft_at_stable,
+    row_prefix,
+)
 from ..ops.stats import bh_fdr, isotonic_fit, poisson_sf
 from ..utils.logging import get_logger
 from .compartment import _proper_unit
@@ -73,110 +78,143 @@ def lambda_chunks(E: np.ndarray):
 
 
 # ------------------------------------------------------- pixel stencils
-def _rect_at(S, xi, yi, r0, r1, c0, c1):
-    N = S.shape[0] - 1
-    a0 = jnp.clip(xi + r0, 0, N)
-    a1 = jnp.clip(xi + r1 + 1, 0, N)
-    b0 = jnp.clip(yi + c0, 0, N)
-    b1 = jnp.clip(yi + c1 + 1, 0, N)
-    return S[a1, b1] - S[a0, b1] - S[a1, b0] + S[a0, b0]
-
-
-def _donut_at(S, xi, yi, w, pw):
-    return (_rect_at(S, xi, yi, -w, w, -w, w)
-            - _rect_at(S, xi, yi, 0, 0, -w, w)
-            - _rect_at(S, xi, yi, -w, w, 0, 0)
-            - _rect_at(S, xi, yi, -pw, pw, -pw, pw)
-            + _rect_at(S, xi, yi, 0, 0, -pw, pw)
-            + _rect_at(S, xi, yi, -pw, pw, 0, 0))
-
-
-def _lowerleft_at(S, xi, yi, w, pw):
-    return (_rect_at(S, xi, yi, 1, w, -w, -1)
-            - _rect_at(S, xi, yi, 1, pw, -pw, -1))
-
-
 @functools.partial(jax.jit, static_argnames=("w", "pw"))
-def _level_at_pixels(S_raw, S_exp, S_bal, xi, yi, w, pw):
+def _level_at_pixels(S1_raw, S1_exp, S1_bal, xi, yi, w, pw):
+    """One escalation level at the candidate pixels, numerically stable
+    (row-prefix / stripe-prefix rectangles, ops/loops_kernel.py)."""
     return (
-        _lowerleft_at(S_raw, xi, yi, w, pw),
-        _donut_at(S_bal, xi, yi, w, pw),
-        _donut_at(S_exp, xi, yi, w, pw),
-        _lowerleft_at(S_bal, xi, yi, w, pw),
-        _lowerleft_at(S_exp, xi, yi, w, pw),
+        lowerleft_at_stable(S1_raw, xi, yi, w, pw),
+        donut_at_stable(S1_bal, xi, yi, w, pw),
+        donut_at_stable(S1_exp, xi, yi, w, pw),
+        lowerleft_at_stable(S1_bal, xi, yi, w, pw),
+        lowerleft_at_stable(S1_exp, xi, yi, w, pw),
     )
 
 
 # ----------------------------------------------------------- per chrom
-def pcaller_chrom(raw: np.ndarray, balanced: np.ndarray, biases: np.ndarray,
-                  res: int, params, allelic: bool = False,
-                  gap: Optional[np.ndarray] = None):
-    """HICCUPS backgrounds + Poisson/BH for one chromosome.
+@functools.partial(jax.jit, static_argnames=("P", "ww", "num"))
+def _build_band_prefixes(rows, cols, vals, bal_vals, predict_pad, n,
+                         P: int, ww: int, num: int):
+    """Device: scatter upper-band COO into banded matrices and row-prefix
+    them (raw band d∈[0,num), balanced/expected band d∈[ww,num))."""
+    d = cols - rows
+    raw_ok = (d > 0) & (d < num)
+    bal_ok = (d >= ww) & (d < num)
+    r0 = jnp.where(raw_ok, rows, 0)
+    c0 = jnp.where(raw_ok, cols, 0)
+    M = jnp.zeros((P, P), jnp.float32).at[r0, c0].add(
+        jnp.where(raw_ok, vals, 0.0))
+    r1 = jnp.where(bal_ok, rows, 0)
+    c1 = jnp.where(bal_ok, cols, 0)
+    C = jnp.zeros((P, P), jnp.float32).at[r1, c1].add(
+        jnp.where(bal_ok, bal_vals, 0.0))
+    i = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)
+    dd = j - i
+    in_band = (dd >= ww) & (dd < num) & (j < n) & (i < n)
+    E = jnp.where(in_band, predict_pad[jnp.clip(dd - ww, 0, num - ww - 1)],
+                  0.0)
+    return row_prefix(M), row_prefix(C), row_prefix(E)
 
-    raw      : integer contact matrix (diagonal included)
-    balanced : balanced (or corrected) matrix, nan→0
-    biases   : 1/weight per bin (ones in allelic mode)
-    Returns (donuts, lowerleft) dicts keyed by (loc1_bp, loc2_bp) with values
-    (IF, fold, pvalue, qvalue), intersected on common positions.
+
+def pcaller_chrom_coo(rows, cols, vals, weights, n: int, res: int, params,
+                      allelic: bool = False,
+                      gap: Optional[np.ndarray] = None,
+                      neighbor_lookup=None):
+    """HICCUPS backgrounds + Poisson/BH for one chromosome from COO pixels.
+
+    rows/cols/vals : upper-triangle intra COO (local bins)
+    weights        : cooler balance weights (None in allelic mode —
+                     matrices are already corrected, biases = 1)
+    Everything O(N²) stays on device; host↔device traffic is the COO upload
+    plus per-pixel vectors.
     """
+    from ..core.contacts import pad_to_bucket
+
     pw, ww = params["pw"], params["ww"]
     maxww, maxapart, sig = params["maxww"], params["maxapart"], params["sig"]
-    N = raw.shape[0]
     num = maxapart // res + maxww + 1
+    N = n
+    P = pad_to_bucket(n, 512)
+    d_all = cols - rows
 
-    H = raw - np.diag(np.diagonal(raw))
+    if weights is not None:
+        w = np.asarray(weights, np.float64)
+        bal_vals = np.nan_to_num(vals * w[rows] * w[cols])  # cooler nan→0
+        mask = np.logical_not(w == 0) | np.isnan(w)
+        biases = np.zeros_like(w)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            biases[mask] = 1.0 / w[mask]  # nan weights propagate → dropped
+    else:
+        bal_vals = vals.astype(np.float64)
+        biases = np.ones(n)
+
+    # expected curve from balanced diagonal means (zeros included, the
+    # np.diagonal(...).mean() semantics)
     x = np.arange(ww, num)
-    cdiag_means = np.array([np.diagonal(balanced, d).mean() if d < N else 0.0
-                            for d in x])
+    dsel = (d_all >= ww) & (d_all < num)
+    sums = np.bincount(d_all[dsel] - ww, weights=bal_vals[dsel],
+                       minlength=num - ww)
+    counts = np.maximum(n - x, 1)
+    cdiag_means = np.where(x < n, sums / counts, 0.0)
     ir = isotonic_fit(x, cdiag_means, increasing="auto")
-    predictE = np.clip(ir.predict(x), 0, None)
+    predictE = np.clip(ir.predict(x), 0, None).astype(np.float32)
 
-    # Band-limited device matrices + SATs.
-    Hj = jnp.asarray(H, jnp.float32)
-    M_band = band_limit(Hj, 0, num)
-    cM_band = band_limit(jnp.asarray(balanced, jnp.float32), ww, num)
-    i_idx = np.arange(N)
-    EM = np.zeros((N, N), np.float32)
-    for k, d in enumerate(x):
-        if d < N:
-            EM[i_idx[: N - d], i_idx[: N - d] + d] = predictE[k]
-    S_raw = sat(M_band)
-    S_bal = sat(cM_band)
-    S_exp = sat(jnp.asarray(EM))
+    S_raw, S_bal, S_exp = _build_band_prefixes(
+        jnp.asarray(rows.astype(np.int32)), jnp.asarray(cols.astype(np.int32)),
+        jnp.asarray(vals, dtype=jnp.float32),
+        jnp.asarray(bal_vals, dtype=jnp.float32),
+        jnp.asarray(predictE), jnp.asarray(n), P, ww, num)
 
-    # Candidate pixels.
-    M_host = np.asarray(M_band)
-    xi, yi = np.nonzero(M_host)
-    sel = ((yi - xi) >= ww) & ((yi - xi) <= maxapart // res)
-    xi, yi = xi[sel], yi[sel]
+    # candidate pixels straight from the COO (diag removed by d >= ww)
+    sel = (d_all >= ww) & (d_all <= maxapart // res)
+    xi = rows[sel].astype(np.int64)
+    yi = cols[sel].astype(np.int64)
+    o_val = vals[sel].astype(np.float64)
+    em_val = predictE[np.clip(d_all[sel] - ww, 0, num - ww - 1)].astype(
+        np.float64)
+
+    # gaps: banded raw row sums == 0 (diag-zeroed upper band)
+    rs = np.bincount(rows[(d_all > 0) & (d_all < num)],
+                     weights=vals[(d_all > 0) & (d_all < num)], minlength=n)
+    gaps = set(np.flatnonzero(rs == 0).tolist())
 
     if allelic:
         gap_set = set(gap.tolist()) if gap is not None else set()
-        Hfull = raw
         keep = np.ones(xi.size, bool)
+        lut = neighbor_lookup or {}
         for k in range(xi.size):
             if xi[k] in gap_set and yi[k] in gap_set:
                 keep[k] = False
                 continue
-            left = Hfull[xi[k] - 1, yi[k]] if xi[k] - 1 >= 0 else 1
-            right = Hfull[xi[k] + 1, yi[k]] if xi[k] + 1 < N else 1
-            top = Hfull[xi[k], yi[k] + 1] if yi[k] + 1 < N else 1
-            bottom = Hfull[xi[k], yi[k] - 1] if yi[k] - 1 >= 0 else 1
+            xk, yk = int(xi[k]), int(yi[k])
+            left = lut.get((xk - 1, yk), 0) if xk - 1 >= 0 else 1
+            right = lut.get((xk + 1, yk), 0) if xk + 1 < N else 1
+            top = lut.get((xk, yk + 1), 0) if yk + 1 < N else 1
+            bottom = lut.get((xk, yk - 1), 0) if yk - 1 >= 0 else 1
             if left * right * top * bottom == 0:
                 keep[k] = False
-        xi, yi = xi[keep], yi[keep]
+        xi, yi, o_val, em_val = xi[keep], yi[keep], o_val[keep], em_val[keep]
 
     log.log(21, "observed contact number: %d", xi.size)
-    P = xi.size
-    bSV = {fl: np.zeros(P) for fl in "KY"}
-    bEV = {fl: np.zeros(P) for fl in "KY"}
-    ref_idx = np.arange(P)
-    ref_mask = np.ones(P, bool)
-    ini = P
-    xj, yj = jnp.asarray(xi), jnp.asarray(yi)
+    npix = xi.size
+    bSV = {fl: np.zeros(npix) for fl in "KY"}
+    bEV = {fl: np.zeros(npix) for fl in "KY"}
+    ref_idx = np.arange(npix)
+    ref_mask = np.ones(npix, bool)
+    ini = npix
+    # pad pixel arrays to a power of two so compiled levels are reused
+    # across chromosomes
+    P2 = 1 << max(npix - 1, 1).bit_length()
+    xpad = np.zeros(P2, xi.dtype)
+    ypad = np.zeros(P2, yi.dtype)
+    xpad[:npix] = xi
+    ypad[:npix] = yi
+    xj, yj = jnp.asarray(xpad), jnp.asarray(ypad)
 
     for w in range(ww, maxww + 1):
-        reads, bsk, bek, bsy, bey = [np.asarray(a) for a in _level_at_pixels(
+        reads, bsk, bek, bsy, bey = [np.asarray(a)[:npix] for a in
+                                     _level_at_pixels(
             S_raw, S_exp, S_bal, xj, yj, w, pw)]
         rn = reads[ref_idx]
         eidx = ref_idx[rn >= 16]
@@ -193,10 +231,13 @@ def pcaller_chrom(raw: np.ndarray, balanced: np.ndarray, biases: np.ndarray,
 
     mask = (bEV["K"] != 0) & (bEV["Y"] != 0) & ref_mask
     xi, yi = xi[mask], yi[mask]
-    brv = {fl: bSV[fl][mask] / bEV[fl][mask] for fl in "KY"}
-    em_val = EM[xi, yi]
-    o_val = M_host[xi, yi]
-    gaps = set(np.where(M_host.sum(axis=1) == 0)[0].tolist())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        brv = {fl: np.where(bEV[fl][mask] != 0,
+                            bSV[fl][mask] / np.where(bEV[fl][mask] != 0,
+                                                     bEV[fl][mask], 1.0), 0.0)
+               for fl in "KY"}
+    em_val = em_val[mask]
+    o_val = o_val[mask]
 
     out = {}
     for fl in "KY":
@@ -271,24 +312,28 @@ def call_peaks(cooler_path: str, res: int, allelic, outfil: str,
     with open(outfil, "w") as f:
         f.write(head)
         for chro in chroms:
-            H = reader.matrix(chro, balance=False)
-            matrices[chro] = H
+            rows, cols, vals = reader.fetch_coo(chro)
+            ci = reader.chromnames.index(chro)
+            n = int(reader.chrom_offset[ci + 1] - reader.chrom_offset[ci])
+            # host dense copy kept for the selection/cluster post-stages
+            # (pure h5py, never crosses the device link)
+            matrices[chro] = reader.matrix(chro, balance=False)
             if not allelic:
-                cH = np.nan_to_num(reader.matrix(chro, balance=True))
                 wt = reader.bins_weight(chro)
-                mask = np.logical_not(wt == 0) | np.isnan(wt)
-                biases = np.zeros_like(wt)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    biases[mask] = 1.0 / wt[mask]
                 gap = None
+                lut = None
             else:
-                cH = H.copy()
-                biases = np.ones(H.shape[0])
+                wt = None
                 gap = np.asarray(gap_lib[chro])
+                lut = {}
+                for r_, c_, v_ in zip(rows, cols, vals):
+                    lut[(int(r_), int(c_))] = v_
+                    lut[(int(c_), int(r_))] = v_
             from ..utils.profiling import stage as _stage
             with _stage(f"loops.pcaller[{chro}]"):
-                donuts, ll = pcaller_chrom(H, cH, biases, res, params,
-                                           allelic=bool(allelic), gap=gap)
+                donuts, ll = pcaller_chrom_coo(
+                    rows, cols, vals, wt, n, res, params,
+                    allelic=bool(allelic), gap=gap, neighbor_lookup=lut)
             label = chro[1:] if allelic else chro
             for pos in donuts:
                 row = (label,) + pos + donuts[pos] + ll[pos][1:]

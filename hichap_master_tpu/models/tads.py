@@ -117,16 +117,24 @@ def gap_filter(gap: np.ndarray, N: int) -> List[int]:
 # ------------------------------------------------------------- per-chrom
 def chrom_di_segments(M: np.ndarray, res: int, min_tad: int, window: int,
                       test_type: str):
-    """Gap detection + DI + training-segment extraction for one matrix."""
+    """Gap detection + DI + training-segment extraction for one host matrix."""
     n = M.shape[0]
     N = pad_to_bucket(n)
     Mp = np.zeros((N, N), np.float32)
     Mp[:n, :n] = M
+    return chrom_di_segments_device(jnp.asarray(Mp), n, res, min_tad, window,
+                                    test_type)
+
+
+def chrom_di_segments_device(Mj, n: int, res: int, min_tad: int, window: int,
+                             test_type: str):
+    """Device-matrix variant: only the gap mask and DI track (O(N)) cross
+    the host↔device link."""
     local_bin = int(min_tad / res)
     w = int(window / res)
+    N = Mj.shape[0]
 
-    gapm = np.asarray(tad_gap_mask(jnp.asarray(Mp), jnp.asarray(n),
-                                   local_bin))[:n]
+    gapm = np.asarray(tad_gap_mask(Mj, jnp.asarray(n), local_bin))[:n]
     gap = np.flatnonzero(gapm)
     tmp = list(gap)
     if 0 not in tmp:
@@ -139,7 +147,7 @@ def chrom_di_segments(M: np.ndarray, res: int, min_tad: int, window: int,
     gap_mask_full[gap] = True
     gap_mask_full[n:] = True
     di = np.asarray(directionality_index(
-        jnp.asarray(Mp), jnp.asarray(gap_mask_full), jnp.asarray(n), w,
+        Mj, jnp.asarray(gap_mask_full), jnp.asarray(n), w,
         test_type))[:n]
 
     gap_density_t = gap.size / n / 2.0
@@ -279,19 +287,26 @@ def run_tads(cooler_path: str, res: int, allelic, out_path: str,
     reader = CoolerReader(cooler_path, res)
     if allelic is False or allelic is None:
         chroms = reader.chromnames
+        balance = True
         fetch = lambda c: np.nan_to_num(reader.matrix(c, balance=True))
     elif allelic in ("Maternal", "Paternal"):
         pre = allelic[0]
         chroms = [c for c in reader.chromnames if c.startswith(pre)]
+        balance = False
         fetch = lambda c: reader.matrix(c, balance=False)
     else:
         raise ValueError(f"Unknown allelic key {allelic!r}")
 
+    import jax.numpy as jnp
+
     di_dict, gap_dict, seg_dict = {}, {}, {}
     train_seqs: List[np.ndarray] = []
     for c in chroms:
-        M = fetch(c)
-        di, gap, segs = chrom_di_segments(M, res, min_tad, window, test_type)
+        Mj, n = reader.matrix_device(c, balance=balance)
+        if balance:
+            Mj = jnp.nan_to_num(Mj)
+        di, gap, segs = chrom_di_segments_device(Mj, n, res, min_tad, window,
+                                                 test_type)
         di_dict[c], gap_dict[c], seg_dict[c] = di, gap, segs
         train_seqs.extend(segs[k] for k in sorted(segs))
         log.log(21, "TAD prep %s: %d bins, %d segments", c, len(di), len(segs))

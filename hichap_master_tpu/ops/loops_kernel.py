@@ -97,6 +97,59 @@ def loop_background_level(S_raw: jnp.ndarray, S_exp: jnp.ndarray,
     )
 
 
+# -------------------------------------------------- stable formulation
+#
+# A single global SAT accumulates to the full matrix total (~1e8 counts at
+# 10 kb), so float32 rectangle differences of ~1e2-sized donut regions lose
+# ~10 significant bits — unacceptable.  The stable form splits the 2D prefix:
+#   S1 = row prefix of M                  (magnitude ≤ one row's total)
+#   D  = S1[:, y+c1+1] - S1[:, y+c0]      (magnitude ≤ a window row sum)
+#   C  = column prefix of D               (magnitude ≤ a column *stripe* total)
+#   rect(x, y) = C[x+r1+1, y] - C[x+r0, y]
+# keeping every accumulation bounded by a stripe rather than the matrix.
+
+
+@jax.jit
+def row_prefix(M: jnp.ndarray) -> jnp.ndarray:
+    """S1[i, j] = sum(M[i, :j]); shape [N, N+1]."""
+    return jnp.pad(jnp.cumsum(M, axis=1), ((0, 0), (1, 0)))
+
+
+def _col_diff(S1: jnp.ndarray, c0: int, c1: int) -> jnp.ndarray:
+    """D[i, y] = sum over columns y+c0..y+c1 of row i (zero outside)."""
+    N = S1.shape[0]
+    cols = jnp.arange(N)
+    hi = jnp.clip(cols + c1 + 1, 0, N)
+    lo = jnp.clip(cols + c0, 0, N)
+    return S1[:, hi] - S1[:, lo]
+
+
+def _rect_stable_at(S1, xi, yi, r0, r1, c0, c1):
+    """Rectangle sums at pixel lists, numerically stable."""
+    N = S1.shape[0]
+    D = _col_diff(S1, c0, c1)
+    if r0 == 0 and r1 == 0:
+        return D[xi, yi]
+    C = jnp.pad(jnp.cumsum(D, axis=0), ((1, 0), (0, 0)))
+    a0 = jnp.clip(xi + r0, 0, N)
+    a1 = jnp.clip(xi + r1 + 1, 0, N)
+    return C[a1, yi] - C[a0, yi]
+
+
+def donut_at_stable(S1, xi, yi, w: int, pw: int):
+    return (_rect_stable_at(S1, xi, yi, -w, w, -w, w)
+            - _rect_stable_at(S1, xi, yi, 0, 0, -w, w)
+            - _rect_stable_at(S1, xi, yi, -w, w, 0, 0)
+            - _rect_stable_at(S1, xi, yi, -pw, pw, -pw, pw)
+            + _rect_stable_at(S1, xi, yi, 0, 0, -pw, pw)
+            + _rect_stable_at(S1, xi, yi, -pw, pw, 0, 0))
+
+
+def lowerleft_at_stable(S1, xi, yi, w: int, pw: int):
+    return (_rect_stable_at(S1, xi, yi, 1, w, -w, -1)
+            - _rect_stable_at(S1, xi, yi, 1, pw, -pw, -1))
+
+
 def oracle_region_sums(M: np.ndarray, x: int, y: int, w: int, pw: int
                        ) -> Tuple[float, float]:
     """Brute-force K and Y sums at one pixel (test oracle), replicating the

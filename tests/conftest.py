@@ -37,6 +37,36 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    """Re-exec the test run with the axon TPU plugin disabled.
+
+    The plugin's sitecustomize hooks interpreter start: it slows CPU-only
+    compiles ~30x (remote-compile indirection) and hangs outright whenever
+    the TPU tunnel is wedged.  Both are fixed only by clearing
+    PALLAS_AXON_POOL_IPS *before* python starts — so re-exec once, after
+    stopping pytest's fd capture so output still reaches the caller.
+    """
+    if (os.environ.get("PALLAS_AXON_POOL_IPS")
+            and os.environ.get("HICHAP_TPU_TEST_REEXEC") != "1"):
+        capman = config.pluginmanager.getplugin("capturemanager")
+        if capman is not None:
+            try:
+                capman.stop_global_capturing()
+            except Exception:
+                pass
+        env = dict(os.environ)
+        env["HICHAP_TPU_TEST_REEXEC"] = "1"
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8"
+                            ).strip()
+        sys.stdout.write("[conftest] re-exec without axon TPU plugin\n")
+        sys.stdout.flush()
+        os.execve(sys.executable,
+                  [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(20260816)
