@@ -244,10 +244,73 @@ def _specific_mapping(info: List[str]):
     return "N", lines
 
 
+def _vectorized_both_simple(m_sub: List[List[str]], p_sub: List[List[str]]):
+    """Vectorized _both_mapping for candidate-free (15-column) pairs.
+
+    Returns (marks [n] of 2-char codes, line columns as string arrays).
+    """
+    def cols(rows, idx, as_int=False):
+        a = np.array([r[idx] for r in rows])
+        return a.astype(np.int64) if as_int else a
+
+    out_marks = np.empty(len(m_sub), dtype="U2")
+    lines = np.empty((len(m_sub), 4), dtype=object)
+    for mate, (c_i, pos_i, score_i, frag_i, snp_i) in enumerate(
+            ((1, 3, 5, 6, 7), (8, 10, 12, 13, 14))):
+        mc = cols(m_sub, c_i)
+        pc = cols(p_sub, c_i)
+        mpos = cols(m_sub, pos_i, True)
+        ppos = cols(p_sub, pos_i, True)
+        msc = cols(m_sub, score_i, True)
+        psc = cols(p_sub, score_i, True)
+        msnp = cols(m_sub, snp_i, True)
+        psnp = cols(p_sub, snp_i, True)
+        same = (mc == pc) & (np.abs(mpos - ppos) <= 5)
+        mark = np.full(len(m_sub), "N", dtype="U1")
+        mark[same & (msnp > 2 * psnp)] = "M"
+        mark[same & (2 * msnp < psnp)] = "P"
+        diff = ~same
+        mark[diff & ((msc - psc) >= MAX_DIFF_SCORE) & (msnp >= 2 * psnp)] = "M"
+        mark[diff & ((psc - msc) >= MAX_DIFF_SCORE) & (psnp >= 2 * msnp)] = "P"
+        use_p = mark == "P"
+        lines[:, 2 * mate] = np.where(use_p, pc, mc)
+        mfr = cols(m_sub, frag_i)
+        pfr = cols(p_sub, frag_i)
+        lines[:, 2 * mate + 1] = np.where(use_p, pfr, mfr)
+        if mate == 0:
+            out_marks = mark.astype("U2")
+        else:
+            out_marks = np.char.add(out_marks, mark)
+    return out_marks, lines
+
+
+def _vectorized_specific_simple(rows: List[List[str]]):
+    """Vectorized _specific_mapping for candidate-free rows."""
+    snp1 = np.array([int(r[7]) for r in rows])
+    snp2 = np.array([int(r[14]) for r in rows])
+    mark = np.full(len(rows), "N", dtype="U4")
+    mark[(snp1 != 0) & (snp2 != 0)] = "Both"
+    mark[(snp1 != 0) & (snp2 == 0)] = "R1"
+    mark[(snp1 == 0) & (snp2 != 0)] = "R2"
+    cols = np.empty((len(rows), 4), dtype=object)
+    cols[:, 0] = [r[1] for r in rows]
+    cols[:, 1] = [r[6] for r in rows]
+    cols[:, 2] = [r[8] for r in rows]
+    cols[:, 3] = [r[13] for r in rows]
+    return mark, cols
+
+
 def allelic_filtering(maternal_bed: str, paternal_bed: str, out_dir: str,
-                      save_id: bool = False) -> Dict[str, float]:
+                      save_id: bool = False,
+                      vectorized: bool = True) -> Dict[str, float]:
     """Merge-join the two name-sorted valid beds → the five allelic beds
-    (filtering.py:989-1291)."""
+    (filtering.py:989-1291).
+
+    With ``vectorized`` (default), candidate-free pairs — the vast majority
+    — are assigned with numpy column ops; candidate-bearing rows take the
+    row-wise reference-faithful path.  Output file contents and statistics
+    are identical to the row-wise implementation (row order within a file
+    may differ; downstream binning is order-independent)."""
     os.makedirs(out_dir, exist_ok=True)
     prefix = os.path.split(maternal_bed)[-1].split("Maternal")[0] + "Valid"
 
@@ -290,58 +353,120 @@ def allelic_filtering(maternal_bed: str, paternal_bed: str, out_dir: str,
             S["Bi_Allelic"] += 1
             outs["Bi_Allelic"].write("\t".join(map(str, lines)) + "\n")
 
-    i = j = 0
-    count = 0
-    while i < len(m_rows) or j < len(p_rows):
-        count += 1
-        if i >= len(m_rows):
-            emit_specific(p_rows[j], "P")
-            j += 1
-        elif j >= len(p_rows):
-            emit_specific(m_rows[i], "M")
-            i += 1
-        else:
-            mn, pn = m_rows[i][0], p_rows[j][0]
-            if mn < pn:
-                emit_specific(m_rows[i], "M")
-                i += 1
-            elif mn > pn:
+    def emit_both(mark, lines, name):
+        if save_id:
+            lines = [name] + lines
+        row = "\t".join(map(str, lines))
+        if mark == "NN":
+            S["Bi_Allelic"] += 1
+            outs["Bi_Allelic"].write(row + "\n")
+        elif mark in ("NM", "MN"):
+            S["Single_M"] += 1
+            outs["M_M"].write(row + ("\tR2\n" if mark == "NM" else "\tR1\n"))
+        elif mark == "MM":
+            S["Both_M"] += 1
+            outs["M_M"].write(row + "\tBoth\n")
+        elif mark in ("NP", "PN"):
+            S["Single_P"] += 1
+            outs["P_P"].write(row + ("\tR2\n" if mark == "NP" else "\tR1\n"))
+        elif mark == "PP":
+            S["Both_P"] += 1
+            outs["P_P"].write(row + "\tBoth\n")
+        elif mark == "MP":
+            S["Regroup"] += 1
+            outs["M_P"].write(row + "\n")
+        elif mark == "PM":
+            S["Regroup"] += 1
+            outs["P_M"].write(row + "\n")
+
+    m_names = np.array([r[0] for r in m_rows]) if m_rows else np.array([])
+    p_names = np.array([r[0] for r in p_rows]) if p_rows else np.array([])
+    uniq = (len(np.unique(m_names)) == len(m_names)
+            and len(np.unique(p_names)) == len(p_names))
+
+    if vectorized and uniq:
+        in_p = np.isin(m_names, p_names, assume_unique=True)
+        in_m = np.isin(p_names, m_names, assume_unique=True)
+        count = len(m_rows) + len(p_rows) - int(in_p.sum())
+
+        # ---- single-genome (specific) rows --------------------------------
+        for side, rows_all, spec in (("M", m_rows, np.flatnonzero(~in_p)),
+                                     ("P", p_rows, np.flatnonzero(~in_m))):
+            key = "M_M" if side == "M" else "P_P"
+            simple_idx = [i for i in spec if len(rows_all[i]) == 15]
+            complex_idx = [i for i in spec if len(rows_all[i]) != 15]
+            S[f"Speci_{side}"] += len(spec)
+            if simple_idx:
+                sub = [rows_all[i] for i in simple_idx]
+                marks, cols = _vectorized_specific_simple(sub)
+                for kind, dest, tagged in (("Both", key, True),
+                                           ("R1", key, True),
+                                           ("R2", key, True),
+                                           ("N", "Bi_Allelic", False)):
+                    sel = np.flatnonzero(marks == kind)
+                    if sel.size == 0:
+                        continue
+                    buf = []
+                    for k in sel:
+                        parts = list(cols[k])
+                        if tagged:
+                            parts.append(kind if kind != "N" else "")
+                        if save_id:
+                            parts = [sub[k][0]] + parts
+                        buf.append("\t".join(parts))
+                    outs[dest].write("\n".join(buf) + "\n")
+                n_both = int((marks == "Both").sum())
+                n_single = int(((marks == "R1") | (marks == "R2")).sum())
+                S[f"Both_{side}"] += n_both
+                S[f"Speci_{side}_both"] += n_both
+                S[f"Single_{side}"] += n_single
+                S[f"Speci_{side}_single"] += n_single
+                S["Bi_Allelic"] += int((marks == "N").sum())
+            # candidate-bearing rows: reference-faithful row path
+            S[f"Speci_{side}"] -= len(complex_idx)
+            for i in complex_idx:
+                emit_specific(rows_all[i], side)
+
+        # ---- both-genome pairs --------------------------------------------
+        m_idx = np.flatnonzero(in_p)
+        p_idx = np.flatnonzero(in_m)
+        simple = np.array([len(m_rows[a]) == 15 and len(p_rows[b]) == 15
+                           for a, b in zip(m_idx, p_idx)], bool) \
+            if m_idx.size else np.zeros(0, bool)
+        sm = m_idx[simple]
+        sp = p_idx[simple]
+        if sm.size:
+            marks, lines = _vectorized_both_simple(
+                [m_rows[a] for a in sm], [p_rows[b] for b in sp])
+            for k in range(sm.size):
+                emit_both(marks[k], list(lines[k]), m_rows[sm[k]][0])
+        for a, b in zip(m_idx[~simple], p_idx[~simple]):
+            mark, lines = _both_mapping(m_rows[a], p_rows[b])
+            emit_both(mark, lines, m_rows[a][0])
+    else:
+        i = j = 0
+        count = 0
+        while i < len(m_rows) or j < len(p_rows):
+            count += 1
+            if i >= len(m_rows):
                 emit_specific(p_rows[j], "P")
                 j += 1
-            else:
-                mark, lines = _both_mapping(m_rows[i], p_rows[j])
-                if save_id:
-                    lines = [m_rows[i][0]] + lines
-                row = "\t".join(map(str, lines))
-                if mark == "NN":
-                    S["Bi_Allelic"] += 1
-                    outs["Bi_Allelic"].write(row + "\n")
-                elif mark == "NM":
-                    S["Single_M"] += 1
-                    outs["M_M"].write(row + "\tR2\n")
-                elif mark == "MN":
-                    S["Single_M"] += 1
-                    outs["M_M"].write(row + "\tR1\n")
-                elif mark == "MM":
-                    S["Both_M"] += 1
-                    outs["M_M"].write(row + "\tBoth\n")
-                elif mark == "NP":
-                    S["Single_P"] += 1
-                    outs["P_P"].write(row + "\tR2\n")
-                elif mark == "PN":
-                    S["Single_P"] += 1
-                    outs["P_P"].write(row + "\tR1\n")
-                elif mark == "PP":
-                    S["Both_P"] += 1
-                    outs["P_P"].write(row + "\tBoth\n")
-                elif mark == "MP":
-                    S["Regroup"] += 1
-                    outs["M_P"].write(row + "\n")
-                elif mark == "PM":
-                    S["Regroup"] += 1
-                    outs["P_M"].write(row + "\n")
+            elif j >= len(p_rows):
+                emit_specific(m_rows[i], "M")
                 i += 1
-                j += 1
+            else:
+                mn, pn = m_rows[i][0], p_rows[j][0]
+                if mn < pn:
+                    emit_specific(m_rows[i], "M")
+                    i += 1
+                elif mn > pn:
+                    emit_specific(p_rows[j], "P")
+                    j += 1
+                else:
+                    mark, lines = _both_mapping(m_rows[i], p_rows[j])
+                    emit_both(mark, lines, m_rows[i][0])
+                    i += 1
+                    j += 1
     for f in outs.values():
         f.close()
 
