@@ -308,10 +308,20 @@ class CoolerReader:
         ci = self.chromnames.index(label)
         n = int(self.chrom_offset[ci + 1] - self.chrom_offset[ci])
         P = padded or pad_to_bucket(n)
+        # pad nnz to a power of two so the scatter graph is reused across
+        # chromosomes (remote/first compiles are expensive)
+        nnz = len(vals)
+        cap = 1 << max(nnz - 1, 1).bit_length()
+        r = np.zeros(cap, np.int32)
+        c = np.zeros(cap, np.int32)
+        v = np.zeros(cap, np.float32)
+        r[:nnz] = rows
+        c[:nnz] = cols
+        v[:nnz] = vals
         M = jnp.zeros((P, P), jnp.float32)
-        r = jnp.asarray(rows)
-        c = jnp.asarray(cols)
-        v = jnp.asarray(vals)
+        r = jnp.asarray(r)
+        c = jnp.asarray(c)
+        v = jnp.asarray(v)
         M = M.at[r, c].add(v)
         M = M.at[c, r].add(jnp.where(r != c, v, 0.0))
         if balance:
@@ -319,6 +329,34 @@ class CoolerReader:
             w = jnp.pad(w, (0, P - n))
             M = M * w[:, None] * w[None, :]
         return M, n
+
+    def genomewide_device(self, padded: int | None = None):
+        """Dense genome-wide symmetric matrix on device from all pixels.
+        Returns (jnp [S_pad, S_pad], S)."""
+        import jax.numpy as jnp
+
+        from ..core.contacts import pad_to_bucket
+
+        with h5py.File(self.path, "r") as f:
+            g = f[self.grp]
+            b1 = g["pixels/bin1_id"][:]
+            b2 = g["pixels/bin2_id"][:]
+            v = g["pixels/count"][:]
+        S = self.nbins
+        P = padded or pad_to_bucket(S)
+        nnz = len(v)
+        cap = 1 << max(nnz - 1, 1).bit_length()
+        r = np.zeros(cap, np.int64)
+        c = np.zeros(cap, np.int64)
+        w = np.zeros(cap, np.float32)
+        r[:nnz] = b1
+        c[:nnz] = b2
+        w[:nnz] = v
+        M = jnp.zeros((P, P), jnp.float32)
+        rj, cj, wj = jnp.asarray(r), jnp.asarray(c), jnp.asarray(w)
+        M = M.at[rj, cj].add(wj)
+        M = M.at[cj, rj].add(jnp.where(rj != cj, wj, 0.0))
+        return M, S
 
     def matrix(self, label: str, balance: bool = False) -> np.ndarray:
         ci = self.chromnames.index(label)

@@ -111,6 +111,35 @@ def load_pc_track(path: str) -> Dict[str, np.ndarray]:
 
 
 # ------------------------------------------------- device-resident path
+import functools as _functools
+
+import jax as _jax
+
+
+@_functools.partial(_jax.jit, static_argnames=("step", "pca_method"))
+def _compartment_fused(Mj, gapj, nj, ngj, gj, step: int, pca_method: str):
+    """One compiled graph per (shape, step): decay → O/E → correlation →
+    PCA → signed PC selection, everything device-resident."""
+    import jax.numpy as jnp
+
+    from ..ops.pc_select import select_pc_new_device
+
+    N = Mj.shape[0]
+    decay = distance_decay(Mj, gapj, nj)
+    if step > 0:
+        oe = oe_matrix_sliding(Mj, decay, nj, step)
+    else:
+        oe = oe_matrix(Mj, decay, nj)
+    col_valid = jnp.arange(N) < gj
+    Xp = oe[:, ngj] * col_valid[None, :]
+    cor = correlation_matrix(Xp, nj)
+    cor = cor * (col_valid[:, None] & col_valid[None, :])
+    pcs, _ = pca_components(cor, gj, k=3, method=pca_method)
+    oe_ng = Xp[ngj, :] * col_valid[:, None]
+    pc_signed = select_pc_new_device(cor, oe_ng, pcs, gj)
+    return oe, cor, pcs, pc_signed
+
+
 def single_chrom_compartment_device(reader: CoolerReader, chro: str,
                                     res: int, sliding: bool = False,
                                     pca_method: str = "subspace",
@@ -129,32 +158,15 @@ def single_chrom_compartment_device(reader: CoolerReader, chro: str,
 
     gapj = default_compartment_gap(Mj, nj)
     gap = np.asarray(gapj)[:n]
-    decay = distance_decay(Mj, gapj, nj)
-    if sliding:
-        oe = oe_matrix_sliding(Mj, decay, nj, 600_000 // res // 2)
-    else:
-        oe = oe_matrix(Mj, decay, nj)
 
     nongap = np.flatnonzero(~gap)
     g = len(nongap)
     ng_pad = np.zeros(N, np.int32)
     ng_pad[:g] = nongap
-    ngj = jnp.asarray(ng_pad)
-    col_valid = (jnp.arange(N) < g)
 
-    # O/E restricted to non-gap columns (rows complete) → correlation
-    Xp = oe[:, ngj] * col_valid[None, :]
-    cor = correlation_matrix(Xp, nj)
-    cor = cor * (col_valid[:, None] & col_valid[None, :])
-
-    pcs, _ = pca_components(cor, jnp.asarray(g), k=3, method=pca_method)
-
-    # O/E restricted to non-gap rows AND columns (for A/B orientation)
-    oe_ng = Xp[ngj, :] * col_valid[:, None]
-
-    from ..ops.pc_select import select_pc_new_device
-
-    pc_signed = select_pc_new_device(cor, oe_ng, pcs, jnp.asarray(g))
+    step = (600_000 // res // 2) if sliding else 0
+    oe, cor, pcs, pc_signed = _compartment_fused(
+        Mj, gapj, nj, jnp.asarray(ng_pad), jnp.asarray(g), step, pca_method)
 
     out = {
         "n": n,
@@ -166,7 +178,6 @@ def single_chrom_compartment_device(reader: CoolerReader, chro: str,
     if want_matrices:
         out["oe"] = np.asarray(oe)[:n, :n]
         out["cor"] = np.asarray(cor)[:g, :g]
-        out["decay"] = np.asarray(decay)[:n]
     return out
 
 

@@ -132,25 +132,13 @@ def _write_weights(path: str, genome: Genome, res: int, cis_only: bool) -> None:
     if cis_only:
         ws = []
         for c in r.chromnames:
-            M = r.matrix(c)
-            n = M.shape[0]
-            N = pad_to_bucket(n)
-            Mp = np.zeros((N, N), np.float32)
-            Mp[:n, :n] = M
-            w, _ = ice_balance(jnp.asarray(Mp), jnp.asarray(n))
+            Mj, n = r.matrix_device(c)
+            w, _ = ice_balance(Mj, jnp.asarray(n))
             ws.append(np.asarray(w)[:n])
         weights = np.concatenate(ws)
     else:
-        S = r.nbins
-        M = np.zeros((S, S), np.float32)
-        offs = r.chrom_offset
-        for i, ci in enumerate(r.chromnames):
-            for j in range(i, len(r.chromnames)):
-                blk = r._fetch_block(i, j)
-                M[offs[i]:offs[i + 1], offs[j]:offs[j + 1]] = blk
-                if i != j:
-                    M[offs[j]:offs[j + 1], offs[i]:offs[i + 1]] = blk.T
-        w, _ = ice_balance(jnp.asarray(M), jnp.asarray(S))
+        Mj, S = r.genomewide_device()
+        w, _ = ice_balance(Mj, jnp.asarray(S))
         weights = np.asarray(w)[:S]
     r.set_weights(weights)
 
