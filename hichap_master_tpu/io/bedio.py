@@ -104,6 +104,58 @@ def read_allelic_bed(paths: Sequence[str], genome: Genome, with_tag: bool):
     return out
 
 
+def iter_valid_bed(paths: Sequence[str], genome: Genome,
+                   read_bytes: int = 1 << 25):
+    """Stream (c1, p1, c2, p2) column chunks from valid-bed files without
+    loading them into memory (production inputs are tens of GB)."""
+    idx = label_index(genome)
+    for path in paths:
+        if os.path.getsize(path) == 0:
+            continue
+        with open(path) as f:
+            while True:
+                lines = f.readlines(read_bytes)
+                if not lines:
+                    break
+                fields = [ln.split("\t", 14) for ln in lines]
+                c1 = pd.Series([r[1] for r in fields])
+                c2 = pd.Series([r[8] for r in fields])
+                c1 = _chrom_index(c1, idx)
+                c2 = _chrom_index(c2, idx)
+                keep = (c1 >= 0) & (c2 >= 0)
+                p1 = np.asarray([r[6] for r in fields], np.int64)[keep]
+                p2 = np.asarray([r[13] for r in fields], np.int64)[keep]
+                yield c1[keep], p1, c2[keep], p2
+
+
+def iter_allelic_bed(paths: Sequence[str], genome: Genome, with_tag: bool,
+                     read_bytes: int = 1 << 25):
+    """Stream (c1, p1, c2, p2[, tag]) chunks from allelic-bed files."""
+    idx = label_index(genome)
+    for path in paths:
+        if os.path.getsize(path) == 0:
+            continue
+        with open(path) as f:
+            while True:
+                lines = f.readlines(read_bytes)
+                if not lines:
+                    break
+                fields = [ln.split() for ln in lines]
+                c1 = _chrom_index(pd.Series([r[0] for r in fields]), idx)
+                c2 = _chrom_index(pd.Series([r[2] for r in fields]), idx)
+                keep = (c1 >= 0) & (c2 >= 0)
+                p1 = np.asarray([r[1] for r in fields], np.int64)[keep]
+                p2 = np.asarray([r[3] for r in fields], np.int64)[keep]
+                out = (c1[keep], p1, c2[keep], p2)
+                if with_tag:
+                    tag = np.asarray([_TAG_MAP.get(r[4], -1) if len(r) > 4
+                                      else -1 for r in fields],
+                                     np.int8)[keep]
+                    yield out + (tag,)
+                else:
+                    yield out
+
+
 def discover_allelic_beds(bed_path: str) -> Dict[str, List[str]]:
     """Locate the five allelic bed classes (matrixBuilding.py:1061-1075)."""
     kinds = ["Bi_Allelic", "M_M", "P_P", "M_P", "P_M"]

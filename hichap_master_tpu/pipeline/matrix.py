@@ -37,6 +37,7 @@ from ..io.bedio import (
     TAG_R1,
     bed_prefix,
     discover_allelic_beds,
+    iter_valid_bed,
     read_allelic_bed,
     read_valid_bed,
 )
@@ -124,6 +125,73 @@ def accumulate_intra(c1, p1, c2, p2, genome: Genome, res: int,
     return out
 
 
+def build_traditional_stream(files: Sequence[str], genome: Genome,
+                             whole_res: Sequence[int],
+                             local_res: Sequence[int]):
+    """Single streaming pass over the valid beds updating every resolution's
+    accumulators per chunk (no full-file load; reference holds all matrices
+    in RAM the same way, matrixBuilding.py:549-565)."""
+    whole_offs = {res: jnp.asarray(_offsets_array(genome, res))
+                  for res in whole_res}
+    whole_acc = {res: jnp.zeros((genome.total_bins(res),) * 2, jnp.float32)
+                 for res in whole_res}
+    nb = {res: {c: genome.n_bins(c, res) for c in genome.labels}
+          for res in local_res}
+    label_idx = {c: i for i, c in enumerate(genome.labels)}
+    local_groups = {res: bucket_groups(genome.labels, nb[res])
+                    for res in local_res}
+    local_acc = {
+        res: [jnp.zeros((len(g), N, N), jnp.float32)
+              for g, N in local_groups[res]]
+        for res in local_res
+    }
+    gpos = {}
+    for res in local_res:
+        for gi, (group, _N) in enumerate(local_groups[res]):
+            pos = np.full(len(genome.labels), -1, np.int32)
+            for k, c in enumerate(group):
+                pos[label_idx[c]] = k
+            gpos[(res, gi)] = pos
+
+    total = 0
+    for c1, p1, c2, p2 in iter_valid_bed(files, genome):
+        total += len(c1)
+        for (cc1, pp1, cc2, pp2), valid in stream_chunks([c1, p1, c2, p2],
+                                                         CHUNK):
+            a1 = jnp.asarray(cc1)
+            a2 = jnp.asarray(cc2)
+            b1 = jnp.asarray(pp1)
+            b2 = jnp.asarray(pp2)
+            vj = jnp.asarray(valid)
+            for res in whole_res:
+                whole_acc[res] = bin_genomewide(
+                    whole_acc[res], a1, b1, a2, b2, whole_offs[res], vj, res)
+        intra = c1 == c2
+        for res in local_res:
+            for gi, (group, N) in enumerate(local_groups[res]):
+                pos = gpos[(res, gi)]
+                sel = intra & (pos[c1] >= 0)
+                gc = pos[c1[sel]]
+                gp1 = p1[sel]
+                gp2 = p2[sel]
+                for (a, b, d), valid in stream_chunks([gc, gp1, gp2], CHUNK):
+                    local_acc[res][gi] = bin_intra(
+                        local_acc[res][gi], jnp.asarray(a), jnp.asarray(b),
+                        jnp.asarray(a), jnp.asarray(d), jnp.asarray(valid),
+                        res)
+
+    whole = {res: np.asarray(acc) for res, acc in whole_acc.items()}
+    local: Dict[int, Dict[str, np.ndarray]] = {}
+    for res in local_res:
+        local[res] = {}
+        for gi, (group, N) in enumerate(local_groups[res]):
+            host = np.asarray(local_acc[res][gi])
+            for k, c in enumerate(group):
+                n = nb[res][c]
+                local[res][c] = host[k, :n, :n]
+    return whole, local, total
+
+
 # ------------------------------------------------------------ balancing
 def _write_weights(path: str, genome: Genome, res: int, cis_only: bool) -> None:
     """ICE-balance a written cooler group in place (``cooler balance`` parity:
@@ -165,13 +233,9 @@ def traditional_matrix_construction(
         if not files:
             raise FileNotFoundError(f"no *_Valid.bed under {rep}")
         prefix = bed_prefix(files)
-        c1, p1, c2, p2 = read_valid_bed(files, genome)
-        log.log(21, "replicate %s: %d valid pairs", prefix, len(c1))
-
-        whole = {res: accumulate_genomewide(c1, p1, c2, p2, genome, res)
-                 for res in whole_res}
-        local = {res: accumulate_intra(c1, p1, c2, p2, genome, res)
-                 for res in local_res}
+        whole, local, total = build_traditional_stream(
+            files, genome, whole_res, local_res)
+        log.log(21, "replicate %s: %d valid pairs", prefix, total)
         rep_whole.append(whole)
         rep_local.append(local)
 
