@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     common = argparse.ArgumentParser(add_help=False)
     common.add_argument("-log", "--logfile", default="HiCHap.log")
     common.add_argument("-w", "--workspace", default="hichap_workspace")
+    common.add_argument("-r", "--resume", action="store_true", default=False,
+                        help="skip this stage when its canonical output "
+                             "folder is already populated (stage-granular "
+                             "checkpoint/resume, like re-invoking the "
+                             "reference's sub-commands)")
 
     p = sub.add_parser("rebuildG", parents=[common],
                        help="rebuild parental genomes from phased SNPs")
@@ -180,6 +185,25 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _stage_done(args, out_dir) -> bool:
+    """Stage-granular resume: outputs already present → skip."""
+    if not getattr(args, "resume", False):
+        return False
+    if out_dir and os.path.isdir(out_dir) and any(
+            os.path.getsize(os.path.join(out_dir, f)) > 0
+            for f in os.listdir(out_dir)):
+        log.log(21, "resume: outputs already present under %s — skipping",
+                out_dir)
+        return True
+    return False
+
+
+_STAGE_OUT = {
+    "rebuildG": "genome", "rebuildF": "chunks", "GlobalMapping": "global",
+    "Rescue": "rescue", "ReMapping": "remap", "bamProcess": "rawbed",
+}
+
+
 def run(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -189,6 +213,12 @@ def run(argv=None) -> int:
     os.makedirs(args.workspace, exist_ok=True)
     setup_logging(os.path.join(args.workspace, args.logfile))
     log.log(21, "hichap-tpu %s args: %s", args.command, vars(args))
+
+    if args.command in _STAGE_OUT:
+        out_dir = getattr(args, "out", None) or os.path.join(
+            args.workspace, WS_DIRS[_STAGE_OUT[args.command]])
+        if _stage_done(args, out_dir):
+            return 0
 
     if args.command == "rebuildG":
         from .pipeline.genome_rebuild import (

@@ -37,7 +37,6 @@ import numpy as np
 
 from ..io.cooler import CoolerReader
 from ..ops.loops_kernel import (
-    band_limit,
     donut_at_stable,
     lowerleft_at_stable,
     row_prefix,
