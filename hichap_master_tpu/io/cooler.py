@@ -308,22 +308,32 @@ class CoolerReader:
         ci = self.chromnames.index(label)
         n = int(self.chrom_offset[ci + 1] - self.chrom_offset[ci])
         P = padded or pad_to_bucket(n)
-        # pad nnz to a power of two so the scatter graph is reused across
-        # chromosomes (remote/first compiles are expensive)
         nnz = len(vals)
-        cap = 1 << max(nnz - 1, 1).bit_length()
-        r = np.zeros(cap, np.int32)
-        c = np.zeros(cap, np.int32)
-        v = np.zeros(cap, np.float32)
-        r[:nnz] = rows
-        c[:nnz] = cols
-        v[:nnz] = vals
-        M = jnp.zeros((P, P), jnp.float32)
-        r = jnp.asarray(r)
-        c = jnp.asarray(c)
-        v = jnp.asarray(v)
-        M = M.at[r, c].add(v)
-        M = M.at[c, r].add(jnp.where(r != c, v, 0.0))
+        if nnz * 16 >= n * n:
+            # dense-ish (coarse resolutions): XLA scatter on TPU serializes
+            # per update, so densify host-side (C bincount) and upload dense.
+            flat = rows.astype(np.int64) * P + cols
+            M_host = np.bincount(flat, weights=vals,
+                                 minlength=P * P).astype(np.float32)
+            M_host = M_host.reshape(P, P)
+            M_host = M_host + np.triu(M_host, 1).T
+            M = jnp.asarray(M_host)
+        else:
+            # sparse (fine resolutions): COO upload beats shipping N² zeros;
+            # nnz padded to a power of two so scatter graphs are reused.
+            cap = 1 << max(nnz - 1, 1).bit_length()
+            r = np.zeros(cap, np.int32)
+            c = np.zeros(cap, np.int32)
+            v = np.zeros(cap, np.float32)
+            r[:nnz] = rows
+            c[:nnz] = cols
+            v[:nnz] = vals
+            M = jnp.zeros((P, P), jnp.float32)
+            r = jnp.asarray(r)
+            c = jnp.asarray(c)
+            v = jnp.asarray(v)
+            M = M.at[r, c].add(v)
+            M = M.at[c, r].add(jnp.where(r != c, v, 0.0))
         if balance:
             w = jnp.asarray(self.bins_weight(label), jnp.float32)
             w = jnp.pad(w, (0, P - n))
@@ -345,6 +355,13 @@ class CoolerReader:
         S = self.nbins
         P = padded or pad_to_bucket(S)
         nnz = len(v)
+        if nnz * 16 >= S * S:
+            flat = b1.astype(np.int64) * P + b2
+            M_host = np.bincount(flat, weights=v,
+                                 minlength=P * P).astype(np.float32)
+            M_host = M_host.reshape(P, P)
+            M_host = M_host + np.triu(M_host, 1).T
+            return jnp.asarray(M_host), S
         cap = 1 << max(nnz - 1, 1).bit_length()
         r = np.zeros(cap, np.int64)
         c = np.zeros(cap, np.int64)
