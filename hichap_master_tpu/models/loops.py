@@ -159,10 +159,21 @@ def pcaller_chrom_coo(rows, cols, vals, weights, n: int, res: int, params,
     ir = isotonic_fit(x, cdiag_means, increasing="auto")
     predictE = np.clip(ir.predict(x), 0, None).astype(np.float32)
 
+    # upload only band pixels (TPU scatter cost is per update); pad nnz to a
+    # power of two for compiled-graph reuse across chromosomes
+    band = (d_all >= 0) & (d_all < num)
+    bn = int(band.sum())
+    cap = 1 << max(bn - 1, 1).bit_length()
+    br = np.zeros(cap, np.int32)
+    bc = np.zeros(cap, np.int32)
+    bv = np.zeros(cap, np.float32)
+    bb = np.zeros(cap, np.float32)
+    br[:bn] = rows[band]
+    bc[:bn] = cols[band]
+    bv[:bn] = vals[band]
+    bb[:bn] = bal_vals[band]
     S_raw, S_bal, S_exp = _build_band_prefixes(
-        jnp.asarray(rows.astype(np.int32)), jnp.asarray(cols.astype(np.int32)),
-        jnp.asarray(vals, dtype=jnp.float32),
-        jnp.asarray(bal_vals, dtype=jnp.float32),
+        jnp.asarray(br), jnp.asarray(bc), jnp.asarray(bv), jnp.asarray(bb),
         jnp.asarray(predictE), jnp.asarray(n), P, ww, num)
 
     # candidate pixels straight from the COO (diag removed by d >= ww)

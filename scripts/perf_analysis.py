@@ -21,7 +21,13 @@ def timed(label, fn):
     t0 = time.perf_counter()
     out = fn()
     dt = time.perf_counter() - t0
-    print(f"{label:45s} {dt:8.2f} s", flush=True)
+    if os.environ.get("PERF_WARM", "1") == "1":
+        t0 = time.perf_counter()
+        fn()
+        warm = time.perf_counter() - t0
+        print(f"{label:45s} {dt:8.2f} s (warm {warm:6.2f} s)", flush=True)
+    else:
+        print(f"{label:45s} {dt:8.2f} s", flush=True)
     return out, dt
 
 
