@@ -313,11 +313,12 @@ def run_tads(cooler_path: str, res: int, allelic, out_path: str,
 
     if not train_seqs:
         raise ValueError("no trainable DI segments — matrices too sparse?")
+    from ..ops.hmm import baum_welch_fused
     from ..utils.profiling import stage
     model = init_parameters(state_num)
     with stage("tads.baum_welch"):
-        model, hist = baum_welch(model, train_seqs)
-    log.log(21, "HMM trained: %d EM iters, loglik %.3f", len(hist), hist[-1])
+        model, iters, ll = baum_welch_fused(model, train_seqs)
+    log.log(21, "HMM trained: %d EM iters, loglik %.3f", iters, ll)
 
     results = {}
     for c in chroms:

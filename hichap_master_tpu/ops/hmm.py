@@ -149,6 +149,62 @@ def _e_step(X, L, A, pi, means, varis, weights):
                 loglik=jnp.sum(loglik))
 
 
+def _m_step(st, zero_A, zero_pi):
+    A_new = st["A_num"] / jnp.maximum(st["gsum_nolast"][:, None], 1e-300)
+    A_new = jnp.where(zero_A, 0.0, A_new)
+    A_new = A_new / jnp.maximum(A_new.sum(1, keepdims=True), 1e-300)
+    pi_new = jnp.where(zero_pi, 0.0, st["pi_new"])
+    pi_new = pi_new / jnp.maximum(pi_new.sum(), 1e-300)
+    gk = jnp.maximum(st["gk_sum"], 1e-300)
+    w_new = gk / gk.sum(1, keepdims=True)
+    mu_new = st["x_sum"] / gk
+    var_new = jnp.maximum(st["x2_sum"] / gk - mu_new**2, VAR_FLOOR)
+    return A_new, pi_new, mu_new, var_new, w_new
+
+
+@functools.partial(jax.jit, static_argnames=("tol", "max_iters"))
+def _baum_welch_device(X, L, A0, pi0, means0, varis0, weights0, zero_A,
+                       zero_pi, tol: float, max_iters: int):
+    """Whole EM loop as one on-device while_loop (single dispatch — host
+    round trips per iteration cost ~0.3 s each over a remote link)."""
+
+    def body2(state):
+        it, params, prev, done = state
+        A, pi, means, varis, weights = params
+        st = _e_step(X, L, A, pi, means, varis, weights)
+        ll = st["loglik"]
+        new_params = _m_step(st, zero_A, zero_pi)
+        converged = jnp.abs(ll - prev) < tol * (jnp.abs(prev) + 1.0)
+        return it + 1, new_params, ll, converged
+
+    def cond2(state):
+        it, params, prev, done = state
+        return (~done) & (it < max_iters)
+
+    init = (jnp.zeros((), jnp.int32), (A0, pi0, means0, varis0, weights0),
+            jnp.asarray(-jnp.inf, X.dtype), jnp.asarray(False))
+    it, params, ll, _ = jax.lax.while_loop(cond2, body2, init)
+    return it, params, ll
+
+
+def baum_welch_fused(model: GMMHMM, seqs: Sequence[np.ndarray],
+                     tol: float = 1e-6, max_iters: int = 500
+                     ) -> Tuple[GMMHMM, int, float]:
+    """Single-dispatch EM (production path).  Returns (model, iters, ll)."""
+    X, L = _pad_sequences(seqs)
+    zero_A = jnp.asarray(model.A <= 0)
+    zero_pi = jnp.asarray(model.pi <= 0)
+    it, params, ll = _baum_welch_device(
+        jnp.asarray(X), jnp.asarray(L), jnp.asarray(model.A),
+        jnp.asarray(model.pi), jnp.asarray(model.means),
+        jnp.asarray(model.varis), jnp.asarray(model.weights), zero_A,
+        zero_pi, tol, max_iters)
+    A, pi, means, varis, weights = params
+    out = GMMHMM(np.asarray(A), np.asarray(pi), np.asarray(means),
+                 np.asarray(varis), np.asarray(weights))
+    return out, int(it), float(ll)
+
+
 def baum_welch(model: GMMHMM, seqs: Sequence[np.ndarray], tol: float = 1e-6,
                max_iters: int = 500) -> Tuple[GMMHMM, List[float]]:
     """EM to convergence (relative log-likelihood change < tol)."""

@@ -107,3 +107,25 @@ def test_hichap_3state_prior_roundtrip(rng):
     assert trained.A[0, 2] == 0.0  # structural zero of the prior
     out = viterbi(trained, seqs)
     assert all(np.isfinite(lp) for _, lp in out)
+
+
+def test_fused_em_matches_host_loop(rng):
+    from hichap_master_tpu.ops.hmm import baum_welch_fused
+
+    A = np.array([[0.9, 0.1], [0.2, 0.8]])
+    pi = np.array([0.6, 0.4])
+    seqs, _ = _gen_hmm_data(rng, A, pi, means=[-2.0, 3.0], sds=[1.0, 1.0],
+                            n_seqs=10, T=60)
+    init = GMMHMM(
+        A=np.array([[0.5, 0.5], [0.5, 0.5]]),
+        pi=np.array([0.5, 0.5]),
+        means=np.array([[-1.0, 0.0], [1.0, 2.0]]),
+        varis=np.ones((2, 2)) * 2.0,
+        weights=np.ones((2, 2)) * 0.5,
+    )
+    host, hist = baum_welch(init, seqs, max_iters=100)
+    fused, iters, ll = baum_welch_fused(init, seqs, max_iters=100)
+    np.testing.assert_allclose(fused.A, host.A, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(fused.means, host.means, rtol=1e-6)
+    np.testing.assert_allclose(fused.pi, host.pi, rtol=1e-6, atol=1e-9)
+    assert abs(iters - len(hist)) <= 1
