@@ -90,6 +90,48 @@ def _level_at_pixels(S1_raw, S1_exp, S1_bal, xi, yi, w, pw):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("ww", "maxww", "pw"))
+def _escalation_device(S1_raw, S1_exp, S1_bal, xi, yi, valid,
+                       ww: int, maxww: int, pw: int):
+    """The whole ≥16-reads window-escalation ladder in one device program.
+
+    Computes every level's backgrounds, then replicates the reference's
+    sequential resolution rule (StructureFind.py:1777-1830) as a scan over
+    the level axis: a pixel resolves at the first level whose lower-left
+    read count reaches 16; when fewer than 10% of the remaining pixels
+    resolve at some level, later levels are abandoned.
+    Returns (resolved, bS_K, bE_K, bS_Y, bE_Y) per pixel.
+    """
+    levels = list(range(ww, maxww + 1))
+    reads_all, bsk_all, bek_all, bsy_all, bey_all = [], [], [], [], []
+    for w in levels:
+        reads_all.append(lowerleft_at_stable(S1_raw, xi, yi, w, pw))
+        bsk_all.append(donut_at_stable(S1_bal, xi, yi, w, pw))
+        bek_all.append(donut_at_stable(S1_exp, xi, yi, w, pw))
+        bsy_all.append(lowerleft_at_stable(S1_bal, xi, yi, w, pw))
+        bey_all.append(lowerleft_at_stable(S1_exp, xi, yi, w, pw))
+    reads = jnp.stack(reads_all)  # [L, P]
+
+    def step(carry, reads_w):
+        remaining, stopped = carry
+        newly = remaining & (reads_w >= 16) & ~stopped
+        ini = jnp.maximum(jnp.sum(remaining & ~stopped), 1)
+        ratio = jnp.sum(newly) / ini
+        remaining = remaining & ~newly
+        stopped_next = stopped | (ratio < 0.1)
+        return (remaining, stopped_next), newly
+
+    init = (valid, jnp.asarray(False))
+    (_, _), newly = jax.lax.scan(step, init, reads)  # newly: [L, P] bool
+
+    def pick(stacked):
+        return jnp.sum(jnp.where(newly, jnp.stack(stacked), 0.0), axis=0)
+
+    resolved = jnp.any(newly, axis=0)
+    return (resolved, pick(bsk_all), pick(bek_all), pick(bsy_all),
+            pick(bey_all))
+
+
 # ----------------------------------------------------------- per chrom
 @functools.partial(jax.jit, static_argnames=("P", "ww", "num"))
 def _build_band_prefixes(rows, cols, vals, bal_vals, predict_pad, n,
@@ -208,36 +250,22 @@ def pcaller_chrom_coo(rows, cols, vals, weights, n: int, res: int, params,
 
     log.log(21, "observed contact number: %d", xi.size)
     npix = xi.size
-    bSV = {fl: np.zeros(npix) for fl in "KY"}
-    bEV = {fl: np.zeros(npix) for fl in "KY"}
-    ref_idx = np.arange(npix)
-    ref_mask = np.ones(npix, bool)
-    ini = npix
-    # pad pixel arrays to a power of two so compiled levels are reused
+    # pad pixel arrays to a power of two so compiled graphs are reused
     # across chromosomes
     P2 = 1 << max(npix - 1, 1).bit_length()
     xpad = np.zeros(P2, xi.dtype)
     ypad = np.zeros(P2, yi.dtype)
+    vpad = np.zeros(P2, bool)
     xpad[:npix] = xi
     ypad[:npix] = yi
-    xj, yj = jnp.asarray(xpad), jnp.asarray(ypad)
+    vpad[:npix] = True
 
-    for w in range(ww, maxww + 1):
-        reads, bsk, bek, bsy, bey = [np.asarray(a)[:npix] for a in
-                                     _level_at_pixels(
-            S_raw, S_exp, S_bal, xj, yj, w, pw)]
-        rn = reads[ref_idx]
-        eidx = ref_idx[rn >= 16]
-        bSV["K"][eidx] = bsk[eidx]
-        bEV["K"][eidx] = bek[eidx]
-        bSV["Y"][eidx] = bsy[eidx]
-        bEV["Y"][eidx] = bey[eidx]
-        ref_idx = ref_idx[rn < 16]
-        ratio = eidx.size / float(ini) if ini else 0.0
-        ini = ref_idx.size
-        if ratio < 0.1:
-            break
-    ref_mask[ref_idx] = False
+    resolved, bsk, bek, bsy, bey = _escalation_device(
+        S_raw, S_exp, S_bal, jnp.asarray(xpad), jnp.asarray(ypad),
+        jnp.asarray(vpad), ww, maxww, pw)
+    ref_mask = np.asarray(resolved)[:npix]
+    bSV = {"K": np.asarray(bsk)[:npix], "Y": np.asarray(bsy)[:npix]}
+    bEV = {"K": np.asarray(bek)[:npix], "Y": np.asarray(bey)[:npix]}
 
     mask = (bEV["K"] != 0) & (bEV["Y"] != 0) & ref_mask
     xi, yi = xi[mask], yi[mask]
