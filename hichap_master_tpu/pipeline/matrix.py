@@ -39,7 +39,6 @@ from ..io.bedio import (
     discover_allelic_beds,
     iter_valid_bed,
     read_allelic_bed,
-    read_valid_bed,
 )
 from ..io.cooler import CoolerReader, CoolerWriter, write_cooler
 from ..ops.balance import ice_balance
