@@ -43,16 +43,22 @@ def _zero_diags(M: jnp.ndarray, ignore_diags: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("ignore_diags", "mad_max", "min_nnz", "min_count",
-                     "tol", "max_iters"),
+                     "tol", "max_iters", "fast"),
 )
 def ice_balance(M: jnp.ndarray, n: jnp.ndarray, *,
                 ignore_diags: int = 1, mad_max: int = 5, min_nnz: int = 10,
-                min_count: int = 0, tol: float = 1e-5, max_iters: int = 200):
+                min_count: int = 0, tol: float = 1e-5, max_iters: int = 200,
+                fast: bool = False):
     """Balance one padded symmetric matrix.  Returns (weights, stats).
 
     weights : [N] float, NaN at filtered/padded bins — multiply
               ``M_ij * w_i * w_j`` to get the balanced matrix.
     stats   : dict with 'scale', 'var', 'iters', 'converged'.
+    fast    : store the matrix in bfloat16 for the iteration (halves HBM
+              traffic — ICE is bandwidth-bound).  Counts above 256 round at
+              ~0.4%, so weights deviate from the float32 result by ~1e-3
+              relative; use for interactive/exploratory balancing, not for
+              reference-parity outputs.
     """
     dtype = M.dtype
     N = M.shape[0]
@@ -75,13 +81,18 @@ def ice_balance(M: jnp.ndarray, n: jnp.ndarray, *,
         keep = keep & (marg0 >= cutoff)
 
     b0 = jnp.where(keep, jnp.ones((), dtype), 0.0)
+    M_it = M0.astype(jnp.bfloat16) if fast else M0
 
     # --- iteration --------------------------------------------------------
     def body(state):
         it, b, _, _ = state
-        # HIGHEST precision: the convergence test (var < 1e-5) sits near the
-        # bf16-MXU noise floor; default precision stalls the iteration on TPU.
-        marg = jnp.dot(M0, b, precision=jax.lax.Precision.HIGHEST) * b
+        if fast:
+            marg = jnp.dot(M_it, b.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32) * b
+        else:
+            # HIGHEST precision: the convergence test (var < 1e-5) sits near
+            # the bf16-MXU noise floor; default precision stalls on TPU.
+            marg = jnp.dot(M0, b, precision=jax.lax.Precision.HIGHEST) * b
         nz = marg != 0
         mean_nz = masked_mean(marg, nz)
         var = masked_var(marg, nz)

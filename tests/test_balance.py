@@ -63,3 +63,16 @@ def test_ice_all_filtered(rng):
     N = pad_to_bucket(n)
     w, stats = ice_balance(jnp.asarray(_pad(M, N)), jnp.asarray(n))
     assert np.isnan(np.asarray(w)[:n]).all()
+
+
+def test_ice_fast_mode_close_to_f32(rng):
+    n = 160
+    M = synthetic_contact_matrix(rng, n, gap_frac=0.05, scale=60.0)
+    N = pad_to_bucket(n)
+    Mp = jnp.asarray(_pad(M, N), jnp.float32)
+    w32, _ = ice_balance(Mp, jnp.asarray(n), tol=0.0, max_iters=40)
+    wf, _ = ice_balance(Mp, jnp.asarray(n), tol=0.0, max_iters=40, fast=True)
+    a, b = np.asarray(w32), np.asarray(wf)
+    np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+    m = ~np.isnan(a)
+    assert np.max(np.abs(a[m] - b[m]) / np.abs(a[m])) < 5e-3
