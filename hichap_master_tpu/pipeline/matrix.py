@@ -522,19 +522,24 @@ def _write_hap_coolers(cooler_dir, prefix, genome, hap, data, balanced_whole,
         if os.path.exists(p):
             os.remove(p)
 
+    inter_md = {"onlyIntra": "False"}
+    intra_md = {"onlyIntra": "True"}
     for res in whole_res:
         write_cooler(tradition, genome, res, {},
-                     genomewide=data["Tradition_Whole"][res], dtype="int")
+                     genomewide=data["Tradition_Whole"][res], dtype="int",
+                     metadata=inter_md)
         write_cooler(unimp, hap, res, {},
-                     genomewide=data["UnImputated_Whole"][res], dtype="int")
+                     genomewide=data["UnImputated_Whole"][res], dtype="int",
+                     metadata=inter_md)
         write_cooler(imp, hap, res, {}, genomewide=balanced_whole[res],
-                     dtype="float")
+                     dtype="float", metadata=inter_md)
     for res in local_res:
         write_cooler(tradition, genome, res, data["Tradition_Local"][res],
-                     dtype="int")
+                     dtype="int", metadata=intra_md)
         write_cooler(unimp, hap, res, data["UnImputated_Local"][res],
-                     dtype="int")
-        write_cooler(imp, hap, res, balanced_local[res], dtype="float")
+                     dtype="int", metadata=intra_md)
+        write_cooler(imp, hap, res, balanced_local[res], dtype="float",
+                     metadata=intra_md)
 
     for res in whole_res:
         _write_weights(tradition, genome, res, cis_only=False)
