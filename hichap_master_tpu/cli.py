@@ -261,9 +261,17 @@ def run(argv=None) -> int:
         else:
             tags = (["Maternal", "Paternal"] if len(args.bowtieIndex) == 2
                     else [""])
-            ws_rescue_mapping(fastq, out,
-                              dict(zip(tags, args.bowtieIndex)),
-                              aligner=aligner)
+            idx_by_tag = dict(zip(tags, args.bowtieIndex))
+            if args.mode == "PBS" and not args.fake_aligner:
+                from .pipeline.mapping import pbs_rescue_mapping
+                pbs_rescue_mapping(fastq, out, idx_by_tag, cell="hichap",
+                                   bowtie2=args.bowtie2Path,
+                                   threads=args.PBSthreads[1],
+                                   num_task=args.PBSthreads[0],
+                                   mem_gb=args.memory,
+                                   log_dir=args.PBSlogfile)
+            else:
+                ws_rescue_mapping(fastq, out, idx_by_tag, aligner=aligner)
 
     elif args.command == "Rescue":
         from .pipeline.rescue import cutting_reads_to_remapping

@@ -232,11 +232,69 @@ def single_chrom_compartment(M: np.ndarray, res: int, sliding: bool = False,
 
 
 # ---------------------------------------------------------------- driver
+_BATCH_MAX_BYTES = 2 << 30  # cap a compartment batch at ~2 GB of matrices
+
+
+def _compartment_batched(reader, chroms, res, sliding, pca_method):
+    """Batch chromosomes of equal padded size through one vmapped fused
+    graph (per-dispatch latency dominates at coarse resolutions)."""
+    import jax
+
+    from ..core.contacts import pad_to_bucket
+
+    sizes = {}
+    for c in chroms:
+        ci = reader.chromnames.index(c)
+        sizes[c] = int(reader.chrom_offset[ci + 1] - reader.chrom_offset[ci])
+    by_pad: Dict[int, List[str]] = {}
+    for c in chroms:
+        by_pad.setdefault(pad_to_bucket(sizes[c]), []).append(c)
+
+    fused_v = jax.jit(
+        jax.vmap(_compartment_fused.__wrapped__,
+                 in_axes=(0, 0, 0, 0, 0, None, None)),
+        static_argnums=(5, 6))
+    step = (600_000 // res // 2) if sliding else 0
+
+    results = {}
+    for N, group in sorted(by_pad.items()):
+        max_b = max(1, _BATCH_MAX_BYTES // (N * N * 4))
+        for s in range(0, len(group), max_b):
+            sub = group[s : s + max_b]
+            mats, gaps, ngps, gs = [], [], [], []
+            for c in sub:
+                Mj, n = reader.matrix_device(c, padded=N)
+                gapj = default_compartment_gap(Mj, jnp.asarray(n))
+                gap = np.asarray(gapj)[:n]
+                nongap = np.flatnonzero(~gap)
+                ng_pad = np.zeros(N, np.int32)
+                ng_pad[: len(nongap)] = nongap
+                mats.append(Mj)
+                gaps.append(np.pad(gap, (0, N - n), constant_values=True))
+                ngps.append(ng_pad)
+                gs.append(len(nongap))
+                results[c] = {"n": n, "gap": gap, "nongap": nongap}
+            Mb = jnp.stack(mats)
+            _, _, pcs, pc_signed = fused_v(
+                Mb, jnp.asarray(np.stack(gaps)),
+                jnp.asarray(np.asarray([sizes[c] for c in sub])),
+                jnp.asarray(np.stack(ngps)), jnp.asarray(np.asarray(gs)),
+                step, pca_method)
+            pcs_h = np.asarray(pcs)
+            sig_h = np.asarray(pc_signed)
+            for k, c in enumerate(sub):
+                g = gs[k]
+                results[c]["pcs"] = pcs_h[k, :, :g]
+                results[c]["pc_signed"] = sig_h[k, :g]
+    return results
+
+
 def run_compartment(cooler_path: str, res: int, allelic,
                     out_path: str, sliding: bool = False,
                     traditional_pc_file: Optional[str] = None,
                     pca_method: str = "subspace",
-                    plot: bool = False, ms: str = "IF") -> Dict[str, np.ndarray]:
+                    plot: bool = False, ms: str = "IF",
+                    batched: bool = True) -> Dict[str, np.ndarray]:
     """Full compartment run; writes ``<prefix>_Compartment_<res>.txt``.
 
     ``allelic`` is False / 'Maternal' / 'Paternal' (reference API).
@@ -262,10 +320,15 @@ def run_compartment(cooler_path: str, res: int, allelic,
     tracks: Dict[str, np.ndarray] = {}
     extras = {}
     want_mats = plot and ms in ("OE", "Cor")
+    pre = (_compartment_batched(reader, chroms, res, sliding, pca_method)
+           if batched and not want_mats else None)
     for chro in chroms:
-        r = single_chrom_compartment_device(reader, chro, res, sliding,
-                                            pca_method,
-                                            want_matrices=want_mats)
+        if pre is not None:
+            r = pre[chro]
+        else:
+            r = single_chrom_compartment_device(reader, chro, res, sliding,
+                                                pca_method,
+                                                want_matrices=want_mats)
         n = r["n"]
         full = np.zeros(n)
         if not allelic:

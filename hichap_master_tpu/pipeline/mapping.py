@@ -337,6 +337,34 @@ def ws_rescue_mapping(rescue_dir: str, out_dir: str,
     return outs
 
 
+def pbs_rescue_mapping(rescue_dir: str, out_dir: str,
+                       index_by_tag: Dict[str, str], cell: str,
+                       bowtie2: str = "bowtie2", threads: int = 4,
+                       num_task: int = 20, mem_gb: int = 10,
+                       log_dir: Optional[str] = None) -> List[str]:
+    """PBS-submitted rescue re-mapping (mapping.py:790-970): each
+    ``*_<tag>_unmapped.fq`` maps against its own genome, with the same
+    throttle/validate/resubmit loop as global mapping."""
+    os.makedirs(out_dir, exist_ok=True)
+    log_dir = log_dir or out_dir
+    ex = PBSExecutor(num_task=num_task, mem_gb=mem_gb)
+    if not ex.available():
+        raise RuntimeError("qsub not found; use WS mode")
+    cmds = []
+    for f in sorted(os.listdir(rescue_dir)):
+        if not f.endswith("_unmapped.fq"):
+            continue
+        stem = f.removesuffix("_unmapped.fq")
+        tag = next((t for t in index_by_tag if t and t in f), "")
+        idx = index_by_tag[tag]
+        fq = os.path.join(rescue_dir, f)
+        out_sam = os.path.join(out_dir, stem + ".sam")
+        cmds.append((f"{bowtie2} -x {idx} -p {threads} -U {fq} -S {out_sam}",
+                     out_sam))
+    ex.run_shell_tasks(cmds, cell, threads, log_dir)
+    return [o for _, o in cmds]
+
+
 def pbs_mapping(fastq_dir: str, out_dir: str, indexes: Sequence[str],
                 cell: str, bowtie2: str = "bowtie2",
                 threads: int = 4, num_task: int = 20, mem_gb: int = 10,
