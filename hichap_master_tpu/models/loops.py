@@ -158,10 +158,22 @@ def _build_band_prefixes(rows, cols, vals, bal_vals, predict_pad, n,
     return row_prefix(M), row_prefix(C), row_prefix(E)
 
 
+@functools.partial(jax.jit, static_argnames=("B", "Xp", "e_lo", "x_pad",
+                                             "ww"))
+def _pack_expected(predictE, n, B: int, Xp: int, e_lo: int, x_pad: int,
+                   ww: int):
+    """Packed expected band: E[e, x] = predictE[e-ww] on valid cells."""
+    E = B + 2 * e_lo
+    e = jax.lax.broadcasted_iota(jnp.int32, (E, Xp), 0) - e_lo
+    x = jax.lax.broadcasted_iota(jnp.int32, (E, Xp), 1) - x_pad
+    ok = (e >= ww) & (e < B) & (x >= 0) & (x + e < n)
+    return jnp.where(ok, predictE[jnp.clip(e - ww, 0, B - ww - 1)], 0.0)
+
+
 def pcaller_chrom_coo(rows, cols, vals, weights, n: int, res: int, params,
                       allelic: bool = False,
                       gap: Optional[np.ndarray] = None,
-                      neighbor_lookup=None):
+                      neighbor_lookup=None, packed: bool = True):
     """HICCUPS backgrounds + Poisson/BH for one chromosome from COO pixels.
 
     rows/cols/vals : upper-triangle intra COO (local bins)
@@ -214,9 +226,11 @@ def pcaller_chrom_coo(rows, cols, vals, weights, n: int, res: int, params,
     bc[:bn] = cols[band]
     bv[:bn] = vals[band]
     bb[:bn] = bal_vals[band]
-    S_raw, S_bal, S_exp = _build_band_prefixes(
-        jnp.asarray(br), jnp.asarray(bc), jnp.asarray(bv), jnp.asarray(bb),
-        jnp.asarray(predictE), jnp.asarray(n), P, ww, num)
+    if not packed:
+        S_raw, S_bal, S_exp = _build_band_prefixes(
+            jnp.asarray(br), jnp.asarray(bc), jnp.asarray(bv),
+            jnp.asarray(bb), jnp.asarray(predictE), jnp.asarray(n), P, ww,
+            num)
 
     # candidate pixels straight from the COO (diag removed by d >= ww)
     sel = (d_all >= ww) & (d_all <= maxapart // res)
@@ -260,9 +274,33 @@ def pcaller_chrom_coo(rows, cols, vals, weights, n: int, res: int, params,
     ypad[:npix] = yi
     vpad[:npix] = True
 
-    resolved, bsk, bek, bsy, bey = _escalation_device(
-        S_raw, S_exp, S_bal, jnp.asarray(xpad), jnp.asarray(ypad),
-        jnp.asarray(vpad), ww, maxww, pw)
+    if packed:
+        from ..core.contacts import pad_to_bucket as _ptb
+        from ..ops.loops_packed import pack_coo, pack_margins, \
+            escalation_packed
+
+        e_lo, _e_hi, x_pad = pack_margins(maxww)
+        Xp = _ptb(n + 2 * x_pad, 512)
+        # br/bc/bv/bb hold the d∈[0,num) band (padding rows are d=0);
+        # raw keeps d>0 (diag removed), balanced keeps d>=ww
+        bd = bc - br
+        brj, bcj = jnp.asarray(br), jnp.asarray(bc)
+        D_raw = pack_coo(brj, bcj, jnp.asarray(bv * (bd > 0)),
+                         num, Xp, e_lo, x_pad)
+        D_bal = pack_coo(brj, bcj, jnp.asarray(bb * (bd >= ww)),
+                         num, Xp, e_lo, x_pad)
+        D_exp = _pack_expected(jnp.asarray(predictE), jnp.asarray(n), num,
+                               Xp, e_lo, x_pad, ww)
+        epad = np.zeros(P2, np.int32)
+        epad[:npix] = (yi - xi).astype(np.int32)
+        resolved, bsk, bek, bsy, bey = escalation_packed(
+            D_raw, D_bal, D_exp, jnp.asarray(epad),
+            jnp.asarray(xpad.astype(np.int32)), jnp.asarray(vpad),
+            ww, maxww, pw, num, e_lo, x_pad)
+    else:
+        resolved, bsk, bek, bsy, bey = _escalation_device(
+            S_raw, S_exp, S_bal, jnp.asarray(xpad), jnp.asarray(ypad),
+            jnp.asarray(vpad), ww, maxww, pw)
     ref_mask = np.asarray(resolved)[:npix]
     bSV = {"K": np.asarray(bsk)[:npix], "Y": np.asarray(bsy)[:npix]}
     bEV = {"K": np.asarray(bek)[:npix], "Y": np.asarray(bey)[:npix]}
