@@ -114,15 +114,22 @@ def analysis_train_step(mesh: Mesh):
     rep = NamedSharding(mesh, P())
 
     def step(TM, MM, PM, n_bins, G, alpha, total):
+        from ..ops.correct import genomewide_correction
+        from ..ops.di import directionality_index, tad_gap_mask
+
         nor_mm, nor_pm, _, _ = jax.vmap(two_step_correction)(TM, MM, PM,
                                                              n_bins)
         w, _ = ice_balance(G, total, max_iters=20)
-        from ..ops.correct import genomewide_correction
         corrected = genomewide_correction(G, alpha, total)
-        return nor_mm, nor_pm, w, corrected
+        # DI over the corrected chromosome batch (the TAD front-end)
+        gaps = jax.vmap(lambda m, n: tad_gap_mask(m, n, 4))(nor_mm, n_bins)
+        di = jax.vmap(lambda m, g, n: directionality_index(m, g, n, 4))(
+            nor_mm, gaps, n_bins)
+        return nor_mm, nor_pm, w, corrected, di
 
+    di_shard = NamedSharding(mesh, P("chrom", "bins"))
     return jax.jit(
         step,
         in_shardings=(b_shard, b_shard, b_shard, n_shard, g_shard, v_shard,
                       rep),
-        out_shardings=(b_shard, b_shard, rep, g_shard))
+        out_shardings=(b_shard, b_shard, rep, g_shard, di_shard))

@@ -341,13 +341,15 @@ def pbs_rescue_mapping(rescue_dir: str, out_dir: str,
                        index_by_tag: Dict[str, str], cell: str,
                        bowtie2: str = "bowtie2", threads: int = 4,
                        num_task: int = 20, mem_gb: int = 10,
-                       log_dir: Optional[str] = None) -> List[str]:
+                       log_dir: Optional[str] = None,
+                       qsub: str = "qsub", qstat: str = "qstat") -> List[str]:
     """PBS-submitted rescue re-mapping (mapping.py:790-970): each
     ``*_<tag>_unmapped.fq`` maps against its own genome, with the same
     throttle/validate/resubmit loop as global mapping."""
     os.makedirs(out_dir, exist_ok=True)
     log_dir = log_dir or out_dir
-    ex = PBSExecutor(num_task=num_task, mem_gb=mem_gb)
+    ex = PBSExecutor(num_task=num_task, mem_gb=mem_gb, poll_s=0.5,
+                     qsub=qsub, qstat=qstat)
     if not ex.available():
         raise RuntimeError("qsub not found; use WS mode")
     cmds = []

@@ -75,14 +75,15 @@ def main() -> int:
     # --- full train step runs over the mesh --------------------------------
     step = analysis_train_step(mesh)
     alpha = np.ones(S, np.float32)
-    nm, npm, w, cor = step(jnp.asarray(TM[:, :128, :128]),
-                           jnp.asarray(MM[:, :128, :128]),
-                           jnp.asarray(PM[:, :128, :128]),
-                           jnp.asarray(np.minimum(ns, 120)),
-                           jnp.asarray(G), jnp.asarray(alpha),
-                           jnp.asarray(S))
+    nm, npm, w, cor, di = step(jnp.asarray(TM[:, :128, :128]),
+                               jnp.asarray(MM[:, :128, :128]),
+                               jnp.asarray(PM[:, :128, :128]),
+                               jnp.asarray(np.minimum(ns, 120)),
+                               jnp.asarray(G), jnp.asarray(alpha),
+                               jnp.asarray(S))
     assert np.isfinite(np.asarray(nm)).all()
     assert np.isfinite(np.asarray(cor)).all()
+    assert np.isfinite(np.asarray(di)).all()
     print("OK analysis_train_step over", dict(mesh.shape))
     return 0
 

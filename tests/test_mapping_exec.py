@@ -69,3 +69,29 @@ def test_pbs_executor_with_mock_scheduler(tmp_path):
     ex.run_shell_tasks([(cmd, out)], "cell", threads=1,
                        log_dir=str(tmp_path))
     assert os.path.getsize(out) >= 100
+
+
+def test_pbs_rescue_mapping_with_mock(tmp_path):
+    from hichap_master_tpu.pipeline.mapping import pbs_rescue_mapping
+
+    qsub = str(tmp_path / "qsub")
+    qstat = str(tmp_path / "qstat")
+    _write_exe(qsub, "sh")
+    _write_exe(qstat, "echo '<Data></Data>'")
+    rescue = tmp_path / "RescueFastq"
+    rescue.mkdir()
+    (rescue / "cell_chunk0_1_Maternal_unmapped.fq").write_text("@r\nACGT\n+\nIIII\n")
+    (rescue / "cell_chunk0_1_Paternal_unmapped.fq").write_text("@r\nACGT\n+\nIIII\n")
+    out = tmp_path / "ReMap"
+    # fake bowtie2: writes a big-enough SAM to the -S target
+    bowtie = str(tmp_path / "bowtie2")
+    _write_exe(bowtie, 'while [ "$1" != "-S" ]; do shift; done; '
+               'head -c 200 /dev/zero | tr "\\0" x > "$2"')
+    outs = pbs_rescue_mapping(str(rescue), str(out),
+                              {"Maternal": "Midx", "Paternal": "Pidx"},
+                              cell="cell", bowtie2=bowtie,
+                              qsub=qsub, qstat=qstat)
+    # the mock scheduler ran each command synchronously
+    assert len(outs) == 2
+    for o in outs:
+        assert os.path.getsize(o) >= 100
