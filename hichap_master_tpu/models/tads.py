@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -277,6 +278,76 @@ def boundaries_to_domains(boundaries, segments, di: np.ndarray, res: int,
     return np.array(starts), np.array(ends)
 
 
+_DI_BATCH_MAX_BYTES = 2 << 30
+
+
+def _di_batched(reader: CoolerReader, chroms, balance: bool, res: int,
+                min_tad: int, window: int, test_type: str):
+    """Gap + DI for all chromosomes in one vmapped dispatch per size group
+    (segment extraction stays host-side)."""
+    local_bin = int(min_tad / res)
+    w = int(window / res)
+
+    @jax.jit
+    def gap_di_batch(Mb, ns):
+        gaps = jax.vmap(lambda m, n: tad_gap_mask(m, n, local_bin))(Mb, ns)
+        # Data_preprocess forces bins 0 and n-1 into the gap set before DI
+        N = Mb.shape[-1]
+        idx = jnp.arange(N)[None, :]
+        forced = gaps | (idx == 0) | (idx == ns[:, None] - 1)
+        di = jax.vmap(lambda m, g, n: directionality_index(m, g, n, w,
+                                                           test_type))(
+            Mb, forced, ns)
+        return forced, di
+
+    sizes = {}
+    for c in chroms:
+        ci = reader.chromnames.index(c)
+        sizes[c] = int(reader.chrom_offset[ci + 1] - reader.chrom_offset[ci])
+    by_pad: Dict[int, List[str]] = {}
+    for c in chroms:
+        by_pad.setdefault(pad_to_bucket(sizes[c]), []).append(c)
+
+    out = {}
+    for N, group in sorted(by_pad.items()):
+        max_b = max(1, _DI_BATCH_MAX_BYTES // (N * N * 4))
+        for s in range(0, len(group), max_b):
+            sub = group[s : s + max_b]
+            mats, ns = [], []
+            for c in sub:
+                Mj, n = reader.matrix_device(c, padded=N, balance=balance)
+                if balance:
+                    Mj = jnp.nan_to_num(Mj)
+                mats.append(Mj)
+                ns.append(n)
+            gaps_b, di_b = gap_di_batch(jnp.stack(mats),
+                                        jnp.asarray(np.asarray(ns)))
+            gaps_h = np.asarray(gaps_b)
+            di_h = np.asarray(di_b)
+            for k, c in enumerate(sub):
+                n = ns[k]
+                gap = np.flatnonzero(gaps_h[k, :n])
+                di = di_h[k, :n]
+                out[c] = _segments_from_di(di, gap, n)
+    return out
+
+
+def _segments_from_di(di: np.ndarray, gap: np.ndarray, n: int):
+    """Training-segment extraction (the host tail of chrom_di_segments)."""
+    gap_density_t = gap.size / n / 2.0
+    gf = gap_filter(gap, n)
+    segments: Dict[Tuple[int, int], np.ndarray] = {}
+    for i in range(1, len(gf)):
+        a, b = gf[i - 1], gf[i]
+        if b - a <= SEGMENT_MIN_WIDTH:
+            continue
+        inner = ((gap > a) & (gap < b)).sum()
+        if inner / float(b - a - 1) > gap_density_t:
+            continue
+        segments[(a + 1, b)] = di[a + 1 : b]
+    return di, gap, segments
+
+
 # ----------------------------------------------------------------- driver
 def run_tads(cooler_path: str, res: int, allelic, out_path: str,
              min_tad: int = 200_000, max_tad: int = 4_000_000,
@@ -297,16 +368,12 @@ def run_tads(cooler_path: str, res: int, allelic, out_path: str,
     else:
         raise ValueError(f"Unknown allelic key {allelic!r}")
 
-    import jax.numpy as jnp
-
     di_dict, gap_dict, seg_dict = {}, {}, {}
     train_seqs: List[np.ndarray] = []
+    batched = _di_batched(reader, chroms, balance, res, min_tad, window,
+                          test_type)
     for c in chroms:
-        Mj, n = reader.matrix_device(c, balance=balance)
-        if balance:
-            Mj = jnp.nan_to_num(Mj)
-        di, gap, segs = chrom_di_segments_device(Mj, n, res, min_tad, window,
-                                                 test_type)
+        di, gap, segs = batched[c]
         di_dict[c], gap_dict[c], seg_dict[c] = di, gap, segs
         train_seqs.extend(segs[k] for k in sorted(segs))
         log.log(21, "TAD prep %s: %d bins, %d segments", c, len(di), len(segs))
