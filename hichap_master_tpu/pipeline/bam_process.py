@@ -9,10 +9,17 @@ like the reference's reports (bamProcess.py:855-861, 1658-1671).
 
 from __future__ import annotations
 
+import multiprocessing
 import os
 import re
 from concurrent.futures import ProcessPoolExecutor
 from typing import Dict, List, Optional, Sequence, Tuple
+
+
+def _mp_ctx():
+    """spawn: fork after jax's threads have started is unsafe, and the
+    workers run host-side code only (no jax import on their path)."""
+    return multiprocessing.get_context("spawn")
 
 from ..io.fasta import load_snps
 from ..io.sam import read_sam_sorted_by_name
@@ -107,7 +114,7 @@ def bam_extract(aln_dir: str, re_dir: str, out_dir: str,
 
     stats = [0, 0, 0]
     if threads > 1:
-        with ProcessPoolExecutor(threads) as ex:
+        with ProcessPoolExecutor(threads, mp_context=_mp_ctx()) as ex:
             futs = [ex.submit(integrate_chunk, f, o, fr, sp, tg, level,
                               read_len) for f, o, fr, sp, tg in jobs]
             for fu in futs:

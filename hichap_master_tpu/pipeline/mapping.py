@@ -23,11 +23,16 @@ exhausted.  Aligners are adapters:
 from __future__ import annotations
 
 import gzip
+import multiprocessing
 import os
 import shutil
 import subprocess
 import time
 from concurrent.futures import ProcessPoolExecutor, as_completed
+
+# fork after jax's threads have started is unsafe; the workers only run
+# host-side code, so spawn is cheap (no jax import in the worker path)
+_MP = multiprocessing.get_context("spawn")
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -62,7 +67,7 @@ class RetryingExecutor:
     def run(self, tasks: List[Task]) -> None:
         pending = list(tasks)
         while pending:
-            with ProcessPoolExecutor(self.workers) as ex:
+            with ProcessPoolExecutor(self.workers, mp_context=_MP) as ex:
                 futs = {ex.submit(t.fn, *t.args): t for t in pending}
                 for fu in as_completed(futs):
                     t = futs[fu]
@@ -325,7 +330,7 @@ def ws_rescue_mapping(rescue_dir: str, out_dir: str,
     # Rescue outputs may legitimately be tiny (few unmapped reads); validate
     # existence only.
     pending = tasks
-    with ProcessPoolExecutor(jobs) as ex:
+    with ProcessPoolExecutor(jobs, mp_context=_MP) as ex:
         futs = [ex.submit(t.fn, *t.args) for t in pending]
         for fu in futs:
             fu.result()
