@@ -358,7 +358,25 @@ def run(argv=None) -> int:
         else:
             CompartmentAllelicSpecificity(args.input[0], args.input[1],
                                           args.resolution).run(args.out)
+
+    _dump_stage_metrics(args)
     return 0
+
+
+def _dump_stage_metrics(args) -> None:
+    """Persist per-stage wall-time metrics (utils/profiling.py) under
+    ``<workspace>/Metrics/<command>.json`` — the observability layer the
+    reference lacks (SURVEY §5)."""
+    from .utils import profiling
+
+    m = profiling.metrics()
+    if not m:
+        return
+    mdir = os.path.join(args.workspace, "Metrics")
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, f"{args.command}.json")
+    profiling.dump_metrics(path)
+    log.log(21, "stage metrics written to %s", path)
 
 
 def main() -> None:
