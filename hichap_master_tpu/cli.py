@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 
 from .utils.logging import get_logger, setup_logging
 
@@ -219,6 +220,7 @@ def run(argv=None) -> int:
             args.workspace, WS_DIRS[_STAGE_OUT[args.command]])
         if _stage_done(args, out_dir):
             return 0
+    t_start = time.perf_counter()
 
     if args.command == "rebuildG":
         from .pipeline.genome_rebuild import (
@@ -359,23 +361,25 @@ def run(argv=None) -> int:
             CompartmentAllelicSpecificity(args.input[0], args.input[1],
                                           args.resolution).run(args.out)
 
-    _dump_stage_metrics(args)
+    _dump_stage_metrics(args, time.perf_counter() - t_start)
     return 0
 
 
-def _dump_stage_metrics(args) -> None:
-    """Persist per-stage wall-time metrics (utils/profiling.py) under
-    ``<workspace>/Metrics/<command>.json`` — the observability layer the
-    reference lacks (SURVEY §5)."""
+def _dump_stage_metrics(args, total: float) -> None:
+    """Persist per-stage wall-time metrics (utils/profiling.py) plus the
+    command total under ``<workspace>/Metrics/<command>.json`` — the
+    observability layer the reference lacks (SURVEY §5)."""
+    import json
+
     from .utils import profiling
 
     m = profiling.metrics()
-    if not m:
-        return
+    m[f"{args.command}.total"] = total
     mdir = os.path.join(args.workspace, "Metrics")
     os.makedirs(mdir, exist_ok=True)
     path = os.path.join(mdir, f"{args.command}.json")
-    profiling.dump_metrics(path)
+    with open(path, "w") as f:
+        json.dump(m, f, indent=2, sort_keys=True)
     log.log(21, "stage metrics written to %s", path)
 
 
