@@ -170,18 +170,12 @@ def _pack_expected(predictE, n, B: int, Xp: int, e_lo: int, x_pad: int,
     return jnp.where(ok, predictE[jnp.clip(e - ww, 0, B - ww - 1)], 0.0)
 
 
-def pcaller_chrom_coo(rows, cols, vals, weights, n: int, res: int, params,
-                      allelic: bool = False,
-                      gap: Optional[np.ndarray] = None,
-                      neighbor_lookup=None, packed: bool = True):
-    """HICCUPS backgrounds + Poisson/BH for one chromosome from COO pixels.
-
-    rows/cols/vals : upper-triangle intra COO (local bins)
-    weights        : cooler balance weights (None in allelic mode —
-                     matrices are already corrected, biases = 1)
-    Everything O(N²) stays on device; host↔device traffic is the COO upload
-    plus per-pixel vectors.
-    """
+def _pcaller_prep(rows, cols, vals, weights, n: int, res: int, params,
+                  allelic: bool = False,
+                  gap: Optional[np.ndarray] = None,
+                  neighbor_lookup=None) -> dict:
+    """Host-side preparation shared by the single- and multi-chromosome
+    pcaller paths: balance, expected curve, band/pixel padding."""
     from ..core.contacts import pad_to_bucket
 
     pw, ww = params["pw"], params["ww"]
@@ -226,11 +220,6 @@ def pcaller_chrom_coo(rows, cols, vals, weights, n: int, res: int, params,
     bc[:bn] = cols[band]
     bv[:bn] = vals[band]
     bb[:bn] = bal_vals[band]
-    if not packed:
-        S_raw, S_bal, S_exp = _build_band_prefixes(
-            jnp.asarray(br), jnp.asarray(bc), jnp.asarray(bv),
-            jnp.asarray(bb), jnp.asarray(predictE), jnp.asarray(n), P, ww,
-            num)
 
     # candidate pixels straight from the COO (diag removed by d >= ww)
     sel = (d_all >= ww) & (d_all <= maxapart // res)
@@ -270,37 +259,135 @@ def pcaller_chrom_coo(rows, cols, vals, weights, n: int, res: int, params,
     xpad = np.zeros(P2, xi.dtype)
     ypad = np.zeros(P2, yi.dtype)
     vpad = np.zeros(P2, bool)
+    epad = np.zeros(P2, np.int32)
     xpad[:npix] = xi
     ypad[:npix] = yi
     vpad[:npix] = True
+    epad[:npix] = (yi - xi).astype(np.int32)
+
+    from ..ops.loops_packed import pack_margins
+    e_lo, _e_hi, x_pad = pack_margins(maxww)
+    Xp = pad_to_bucket(n + 2 * x_pad, 512)
+
+    return dict(n=n, N=N, P=P, num=num, ww=ww, pw=pw, maxww=maxww, sig=sig,
+                predictE=predictE, br=br, bc=bc, bv=bv, bb=bb, cap=cap,
+                xi=xi, yi=yi, o_val=o_val, em_val=em_val, npix=npix, P2=P2,
+                xpad=xpad, ypad=ypad, vpad=vpad, epad=epad, biases=biases,
+                gaps=gaps, e_lo=e_lo, x_pad=x_pad, Xp=Xp)
+
+
+def _packed_inputs(pr: dict):
+    """Packed-band device inputs for one prepared chromosome.
+    br/bc/bv/bb hold the d∈[0,num) band (padding rows are d=0); raw keeps
+    d>0 (diag removed), balanced keeps d>=ww."""
+    from ..ops.loops_packed import pack_coo
+
+    bd = pr["bc"] - pr["br"]
+    brj, bcj = jnp.asarray(pr["br"]), jnp.asarray(pr["bc"])
+    D_raw = pack_coo(brj, bcj, jnp.asarray(pr["bv"] * (bd > 0)),
+                     pr["num"], pr["Xp"], pr["e_lo"], pr["x_pad"])
+    D_bal = pack_coo(brj, bcj, jnp.asarray(pr["bb"] * (bd >= pr["ww"])),
+                     pr["num"], pr["Xp"], pr["e_lo"], pr["x_pad"])
+    D_exp = _pack_expected(jnp.asarray(pr["predictE"]),
+                           jnp.asarray(pr["n"]), pr["num"], pr["Xp"],
+                           pr["e_lo"], pr["x_pad"], pr["ww"])
+    return D_raw, D_bal, D_exp
+
+
+def pcaller_chrom_coo(rows, cols, vals, weights, n: int, res: int, params,
+                      allelic: bool = False,
+                      gap: Optional[np.ndarray] = None,
+                      neighbor_lookup=None, packed: bool = True):
+    """HICCUPS backgrounds + Poisson/BH for one chromosome from COO pixels.
+
+    rows/cols/vals : upper-triangle intra COO (local bins)
+    weights        : cooler balance weights (None in allelic mode —
+                     matrices are already corrected, biases = 1)
+    Everything O(N²) stays on device; host↔device traffic is the COO upload
+    plus per-pixel vectors.
+    """
+    pr = _pcaller_prep(rows, cols, vals, weights, n, res, params,
+                       allelic=allelic, gap=gap,
+                       neighbor_lookup=neighbor_lookup)
+    ww, pw, maxww, num = pr["ww"], pr["pw"], pr["maxww"], pr["num"]
 
     if packed:
-        from ..core.contacts import pad_to_bucket as _ptb
-        from ..ops.loops_packed import pack_coo, pack_margins, \
-            escalation_packed
+        from ..ops.loops_packed import escalation_packed
 
-        e_lo, _e_hi, x_pad = pack_margins(maxww)
-        Xp = _ptb(n + 2 * x_pad, 512)
-        # br/bc/bv/bb hold the d∈[0,num) band (padding rows are d=0);
-        # raw keeps d>0 (diag removed), balanced keeps d>=ww
-        bd = bc - br
-        brj, bcj = jnp.asarray(br), jnp.asarray(bc)
-        D_raw = pack_coo(brj, bcj, jnp.asarray(bv * (bd > 0)),
-                         num, Xp, e_lo, x_pad)
-        D_bal = pack_coo(brj, bcj, jnp.asarray(bb * (bd >= ww)),
-                         num, Xp, e_lo, x_pad)
-        D_exp = _pack_expected(jnp.asarray(predictE), jnp.asarray(n), num,
-                               Xp, e_lo, x_pad, ww)
-        epad = np.zeros(P2, np.int32)
-        epad[:npix] = (yi - xi).astype(np.int32)
+        D_raw, D_bal, D_exp = _packed_inputs(pr)
         resolved, bsk, bek, bsy, bey = escalation_packed(
-            D_raw, D_bal, D_exp, jnp.asarray(epad),
-            jnp.asarray(xpad.astype(np.int32)), jnp.asarray(vpad),
-            ww, maxww, pw, num, e_lo, x_pad)
+            D_raw, D_bal, D_exp, jnp.asarray(pr["epad"]),
+            jnp.asarray(pr["xpad"].astype(np.int32)),
+            jnp.asarray(pr["vpad"]),
+            ww, maxww, pw, num, pr["e_lo"], pr["x_pad"])
     else:
+        S_raw, S_bal, S_exp = _build_band_prefixes(
+            jnp.asarray(pr["br"]), jnp.asarray(pr["bc"]),
+            jnp.asarray(pr["bv"]), jnp.asarray(pr["bb"]),
+            jnp.asarray(pr["predictE"]), jnp.asarray(n), pr["P"], ww, num)
         resolved, bsk, bek, bsy, bey = _escalation_device(
-            S_raw, S_exp, S_bal, jnp.asarray(xpad), jnp.asarray(ypad),
-            jnp.asarray(vpad), ww, maxww, pw)
+            S_raw, S_exp, S_bal, jnp.asarray(pr["xpad"]),
+            jnp.asarray(pr["ypad"]), jnp.asarray(pr["vpad"]),
+            ww, maxww, pw)
+    return _pcaller_post(pr, resolved, bsk, bek, bsy, bey, res)
+
+
+def pcaller_multi(inputs: dict, res: int, params, allelic: bool = False,
+                  gaps: Optional[dict] = None,
+                  neighbor_lookups: Optional[dict] = None) -> dict:
+    """Multi-chromosome pcaller: one escalation dispatch per size bucket.
+
+    inputs : {chrom: (rows, cols, vals, weights_or_None, n)}
+    Chromosomes whose padded band/pixel shapes coincide are stacked and run
+    through one vmapped escalation (ops/loops_packed.py) — the per-chrom
+    semantics (including the ≥16-reads / <10% stopping rule) are unchanged
+    vs pcaller_chrom_coo.  Returns {chrom: (donuts, lowerleft)}.
+    """
+    from ..ops.loops_packed import escalation_packed_batch
+
+    gaps = gaps or {}
+    neighbor_lookups = neighbor_lookups or {}
+    preps, groups = {}, {}
+    for chro, (rows, cols, vals, wt, n) in inputs.items():
+        pr = _pcaller_prep(rows, cols, vals, wt, n, res, params,
+                           allelic=allelic, gap=gaps.get(chro),
+                           neighbor_lookup=neighbor_lookups.get(chro))
+        preps[chro] = pr
+        groups.setdefault((pr["Xp"], pr["cap"], pr["P2"]), []).append(chro)
+
+    results = {}
+    for _key, chros in groups.items():
+        packed = [_packed_inputs(preps[c]) for c in chros]
+        D_raw = jnp.stack([p[0] for p in packed])
+        D_bal = jnp.stack([p[1] for p in packed])
+        D_exp = jnp.stack([p[2] for p in packed])
+        pr0 = preps[chros[0]]
+        epad = jnp.asarray(np.stack([preps[c]["epad"] for c in chros]))
+        xpad = jnp.asarray(np.stack(
+            [preps[c]["xpad"].astype(np.int32) for c in chros]))
+        vpad = jnp.asarray(np.stack([preps[c]["vpad"] for c in chros]))
+        resolved, bsk, bek, bsy, bey = escalation_packed_batch(
+            D_raw, D_bal, D_exp, epad, xpad, vpad,
+            pr0["ww"], pr0["maxww"], pr0["pw"], pr0["num"],
+            pr0["e_lo"], pr0["x_pad"])
+        resolved = np.asarray(resolved)
+        bsk, bek = np.asarray(bsk), np.asarray(bek)
+        bsy, bey = np.asarray(bsy), np.asarray(bey)
+        for i, chro in enumerate(chros):
+            results[chro] = _pcaller_post(
+                preps[chro], resolved[i], bsk[i], bek[i], bsy[i], bey[i],
+                res)
+    return results
+
+
+def _pcaller_post(pr: dict, resolved, bsk, bek, bsy, bey, res: int):
+    """Poisson/BH + gap filtering of escalated pixels (host, reference
+    semantics StructureFind.py:1869-1946)."""
+    npix, N, sig = pr["npix"], pr["N"], pr["sig"]
+    xi, yi = pr["xi"], pr["yi"]
+    o_val, em_val = pr["o_val"], pr["em_val"]
+    biases, gaps = pr["biases"], pr["gaps"]
+
     ref_mask = np.asarray(resolved)[:npix]
     bSV = {"K": np.asarray(bsk)[:npix], "Y": np.asarray(bsy)[:npix]}
     bEV = {"K": np.asarray(bek)[:npix], "Y": np.asarray(bey)[:npix]}
@@ -385,31 +472,35 @@ def call_peaks(cooler_path: str, res: int, allelic, outfil: str,
     head = "\t".join(["chromLabel", "loc_1", "loc_2", "IF", "D-Enrichment",
                       "D-pvalue", "D-qvalue", "LL-Enrichment", "LL-pvalue",
                       "LL-qvalue"]) + "\n"
+    inputs, gap_by, lut_by = {}, {}, {}
+    for chro in chroms:
+        rows, cols, vals = reader.fetch_coo(chro)
+        ci = reader.chromnames.index(chro)
+        n = int(reader.chrom_offset[ci + 1] - reader.chrom_offset[ci])
+        # host dense copy kept for the selection/cluster post-stages
+        # (pure h5py, never crosses the device link)
+        matrices[chro] = reader.matrix(chro, balance=False)
+        if not allelic:
+            wt = reader.bins_weight(chro)
+        else:
+            wt = None
+            gap_by[chro] = np.asarray(gap_lib[chro])
+            lut = {}
+            for r_, c_, v_ in zip(rows, cols, vals):
+                lut[(int(r_), int(c_))] = v_
+                lut[(int(c_), int(r_))] = v_
+            lut_by[chro] = lut
+        inputs[chro] = (rows, cols, vals, wt, n)
+
+    from ..utils.profiling import stage as _stage
+    with _stage("loops.pcaller"):
+        results = pcaller_multi(inputs, res, params, allelic=bool(allelic),
+                                gaps=gap_by, neighbor_lookups=lut_by)
+
     with open(outfil, "w") as f:
         f.write(head)
         for chro in chroms:
-            rows, cols, vals = reader.fetch_coo(chro)
-            ci = reader.chromnames.index(chro)
-            n = int(reader.chrom_offset[ci + 1] - reader.chrom_offset[ci])
-            # host dense copy kept for the selection/cluster post-stages
-            # (pure h5py, never crosses the device link)
-            matrices[chro] = reader.matrix(chro, balance=False)
-            if not allelic:
-                wt = reader.bins_weight(chro)
-                gap = None
-                lut = None
-            else:
-                wt = None
-                gap = np.asarray(gap_lib[chro])
-                lut = {}
-                for r_, c_, v_ in zip(rows, cols, vals):
-                    lut[(int(r_), int(c_))] = v_
-                    lut[(int(c_), int(r_))] = v_
-            from ..utils.profiling import stage as _stage
-            with _stage(f"loops.pcaller[{chro}]"):
-                donuts, ll = pcaller_chrom_coo(
-                    rows, cols, vals, wt, n, res, params,
-                    allelic=bool(allelic), gap=gap, neighbor_lookup=lut)
+            donuts, ll = results[chro]
             label = chro[1:] if allelic else chro
             for pos in donuts:
                 row = (label,) + pos + donuts[pos] + ll[pos][1:]

@@ -41,6 +41,16 @@ def pack_margins(maxww: int):
     return e_lo, e_hi, x_pad
 
 
+def _pack_coo_core(rows, cols, vals, B: int, Xp: int, e_lo: int,
+                   x_pad: int):
+    e = cols - rows
+    ok = (e >= 0) & (e < B)
+    er = jnp.where(ok, e + e_lo, 0)
+    xr = jnp.where(ok, rows + x_pad, 0)
+    D = jnp.zeros((B + 2 * e_lo, Xp), jnp.float32)
+    return D.at[er, xr].add(jnp.where(ok, vals, 0.0))
+
+
 @functools.partial(jax.jit, static_argnames=("B", "Xp", "e_lo", "x_pad"))
 def pack_coo(rows, cols, vals, B: int, Xp: int, e_lo: int, x_pad: int):
     """Scatter upper-band COO into the packed layout [e_lo+B+e_hi, Xp].
@@ -48,12 +58,16 @@ def pack_coo(rows, cols, vals, B: int, Xp: int, e_lo: int, x_pad: int):
     Logical (e, x) lives at [e + e_lo, x + x_pad].  Out-of-band entries
     (e<0 or e>=B) scatter into a dead row.
     """
-    e = cols - rows
-    ok = (e >= 0) & (e < B)
-    er = jnp.where(ok, e + e_lo, 0)
-    xr = jnp.where(ok, rows + x_pad, 0)
-    D = jnp.zeros((B + 2 * e_lo, Xp), jnp.float32)
-    return D.at[er, xr].add(jnp.where(ok, vals, 0.0))
+    return _pack_coo_core(rows, cols, vals, B, Xp, e_lo, x_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("B", "Xp", "e_lo", "x_pad"))
+def pack_coo_batch(rows, cols, vals, B: int, Xp: int, e_lo: int,
+                   x_pad: int):
+    """pack_coo over a leading chromosome axis: [C, nnz] → [C, E, Xp]."""
+    return jax.vmap(
+        lambda r, c, v: _pack_coo_core(r, c, v, B, Xp, e_lo, x_pad)
+    )(rows, cols, vals)
 
 
 @jax.jit
@@ -104,18 +118,8 @@ def lowerleft_map(W: jnp.ndarray, w: int, pw: int) -> jnp.ndarray:
     return rect_map(W, 1, w, -w, -1) - rect_map(W, 1, pw, -pw, -1)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("ww", "maxww", "pw", "B", "e_lo",
-                                    "x_pad"))
-def escalation_packed(D_raw, D_bal, D_exp, e_pix, x_pix, valid,
-                      ww: int, maxww: int, pw: int, B: int, e_lo: int,
-                      x_pad: int):
-    """Full escalation ladder over packed bands; returns per-pixel values.
-
-    e_pix/x_pix are logical packed coordinates of the candidate pixels.
-    Semantics identical to models.loops._escalation_device
-    (StructureFind.py:1777-1830).
-    """
+def _escalation_core(D_raw, D_bal, D_exp, e_pix, x_pix, valid,
+                     ww: int, maxww: int, pw: int, e_lo: int, x_pad: int):
     W_raw = anti_diagonal_prefix(D_raw)
     W_bal = anti_diagonal_prefix(D_bal)
     W_exp = anti_diagonal_prefix(D_exp)
@@ -149,3 +153,36 @@ def escalation_packed(D_raw, D_bal, D_exp, e_pix, x_pix, valid,
     resolved = jnp.any(newly, axis=0)
     picked = jnp.sum(jnp.where(newly[:, None, :], vals, 0.0), axis=0)
     return resolved, picked[0], picked[1], picked[2], picked[3]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ww", "maxww", "pw", "B", "e_lo",
+                                    "x_pad"))
+def escalation_packed(D_raw, D_bal, D_exp, e_pix, x_pix, valid,
+                      ww: int, maxww: int, pw: int, B: int, e_lo: int,
+                      x_pad: int):
+    """Full escalation ladder over packed bands; returns per-pixel values.
+
+    e_pix/x_pix are logical packed coordinates of the candidate pixels.
+    Semantics identical to models.loops._escalation_device
+    (StructureFind.py:1777-1830).
+    """
+    return _escalation_core(D_raw, D_bal, D_exp, e_pix, x_pix, valid,
+                            ww, maxww, pw, e_lo, x_pad)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ww", "maxww", "pw", "B", "e_lo",
+                                    "x_pad"))
+def escalation_packed_batch(D_raw, D_bal, D_exp, e_pix, x_pix, valid,
+                            ww: int, maxww: int, pw: int, B: int,
+                            e_lo: int, x_pad: int):
+    """Escalation over a leading chromosome axis — one dispatch per size
+    bucket instead of one per chromosome (all inputs gain a [C, ...] dim).
+    The ≥16-reads / <10% stopping rule runs independently per chromosome,
+    matching the reference's per-chromosome pcaller loop
+    (StructureFind.py:1634-1946)."""
+    return jax.vmap(
+        lambda dr, db, de, ep, xp, v: _escalation_core(
+            dr, db, de, ep, xp, v, ww, maxww, pw, e_lo, x_pad)
+    )(D_raw, D_bal, D_exp, e_pix, x_pix, valid)

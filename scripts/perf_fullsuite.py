@@ -117,7 +117,7 @@ def main():
                       os.path.join(os.path.dirname(os.path.dirname(
                           os.path.abspath(__file__))), ".jax_cache"))
     from hichap_master_tpu.models.compartment import run_compartment
-    from hichap_master_tpu.models.loops import (pcaller_chrom_coo,
+    from hichap_master_tpu.models.loops import (pcaller_multi,
                                                 peaks_parameters)
     from hichap_master_tpu.models.tads import run_tads
     from hichap_master_tpu.ops import ice_balance_batch
@@ -181,19 +181,16 @@ def main():
     params = peaks_parameters(RES_LOOP)
     band = params["maxapart"] // RES_LOOP + params["maxww"] + 1
     g_bins = {c: s // RES_LOOP + 1 for c, s in CHROMS.items()}
-    coos = {c: band_coo(rng, n, band) for c, n in g_bins.items()}
-    n_peaks = 0
+    inputs = {}
+    for c, n in g_bins.items():
+        rows, cols, vals = band_coo(rng, n, band)
+        inputs[c] = (rows, cols, vals, np.ones(n), n)
 
     def _loops():
-        found = 0
-        for c, n in g_bins.items():
-            rows, cols, vals = coos[c]
-            peaks = pcaller_chrom_coo(rows, cols, vals, np.ones(n), n,
-                                      RES_LOOP, params)
-            found += len(peaks)
-        return found
+        results = pcaller_multi(inputs, RES_LOOP, params)
+        return sum(len(d) for d, _ in results.values())
 
-    n_peaks, w = timed("loops 10kb, 8 chroms (band COO)", _loops)
+    n_peaks, w = timed("loops 10kb, 8 chroms (batched band COO)", _loops)
     total += w
     print(f"loops found: {n_peaks}", flush=True)
 
