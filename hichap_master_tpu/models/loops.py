@@ -294,6 +294,21 @@ def _packed_inputs(pr: dict):
     return D_raw, D_bal, D_exp
 
 
+def _escalation_fn(batched: bool):
+    """Map-space escalation on accelerators (gathers are the bottleneck);
+    per-pixel on CPU where full-map stencils per level cost more than the
+    gathers they replace (measured 3.5x either way)."""
+    from ..ops.loops_packed import (escalation_packed,
+                                    escalation_packed_batch,
+                                    escalation_packed_maps,
+                                    escalation_packed_maps_batch)
+
+    if jax.default_backend() == "cpu":
+        return escalation_packed_batch if batched else escalation_packed
+    return (escalation_packed_maps_batch if batched
+            else escalation_packed_maps)
+
+
 def pcaller_chrom_coo(rows, cols, vals, weights, n: int, res: int, params,
                       allelic: bool = False,
                       gap: Optional[np.ndarray] = None,
@@ -312,10 +327,8 @@ def pcaller_chrom_coo(rows, cols, vals, weights, n: int, res: int, params,
     ww, pw, maxww, num = pr["ww"], pr["pw"], pr["maxww"], pr["num"]
 
     if packed:
-        from ..ops.loops_packed import escalation_packed
-
         D_raw, D_bal, D_exp = _packed_inputs(pr)
-        resolved, bsk, bek, bsy, bey = escalation_packed(
+        resolved, bsk, bek, bsy, bey = _escalation_fn(False)(
             D_raw, D_bal, D_exp, jnp.asarray(pr["epad"]),
             jnp.asarray(pr["xpad"].astype(np.int32)),
             jnp.asarray(pr["vpad"]),
@@ -343,7 +356,6 @@ def pcaller_multi(inputs: dict, res: int, params, allelic: bool = False,
     semantics (including the ≥16-reads / <10% stopping rule) are unchanged
     vs pcaller_chrom_coo.  Returns {chrom: (donuts, lowerleft)}.
     """
-    from ..ops.loops_packed import escalation_packed_batch
 
     gaps = gaps or {}
     neighbor_lookups = neighbor_lookups or {}
@@ -366,7 +378,7 @@ def pcaller_multi(inputs: dict, res: int, params, allelic: bool = False,
         xpad = jnp.asarray(np.stack(
             [preps[c]["xpad"].astype(np.int32) for c in chros]))
         vpad = jnp.asarray(np.stack([preps[c]["vpad"] for c in chros]))
-        resolved, bsk, bek, bsy, bey = escalation_packed_batch(
+        resolved, bsk, bek, bsy, bey = _escalation_fn(True)(
             D_raw, D_bal, D_exp, epad, xpad, vpad,
             pr0["ww"], pr0["maxww"], pr0["pw"], pr0["num"],
             pr0["e_lo"], pr0["x_pad"])
