@@ -133,3 +133,24 @@ def analysis_train_step(mesh: Mesh):
         in_shardings=(b_shard, b_shard, b_shard, n_shard, g_shard, v_shard,
                       rep),
         out_shardings=(b_shard, b_shard, rep, g_shard, di_shard))
+
+
+def sharded_loop_escalation(mesh: Mesh, ww: int, maxww: int, pw: int,
+                            e_lo: int, x_pad: int):
+    """Map-space loop escalation (ops/loops_packed.py) sharded over the
+    mesh: the chromosome axis of the packed-band batch spreads across ALL
+    devices (chrom × bins flattened) — band stencils are per-chromosome
+    local, so the escalation runs with zero cross-device traffic."""
+    from ..ops.loops_packed import _escalation_maps_core
+
+    c3 = NamedSharding(mesh, P(("chrom", "bins"), None, None))
+    c2 = NamedSharding(mesh, P(("chrom", "bins"), None))
+
+    def fn(D_raw, D_bal, D_exp, e_pix, x_pix, valid):
+        return jax.vmap(
+            lambda dr, db, de, ep, xp, v: _escalation_maps_core(
+                dr, db, de, ep, xp, v, ww, maxww, pw, e_lo, x_pad)
+        )(D_raw, D_bal, D_exp, e_pix, x_pix, valid)
+
+    return jax.jit(fn, in_shardings=(c3, c3, c3, c2, c2, c2),
+                   out_shardings=(c2, c2, c2, c2, c2))

@@ -85,6 +85,36 @@ def main() -> int:
     assert np.isfinite(np.asarray(cor)).all()
     assert np.isfinite(np.asarray(di)).all()
     print("OK analysis_train_step over", dict(mesh.shape))
+
+    # --- sharded loop escalation == single-device map-space path ----------
+    from hichap_master_tpu.ops.loops_packed import (escalation_packed_maps,
+                                                    pack_margins)
+    from hichap_master_tpu.parallel.sharding import sharded_loop_escalation
+
+    ww, maxww, pw = 3, 6, 1
+    e_lo, _e_hi, x_pad = pack_margins(maxww)
+    Cs, B, Xp, P2 = 8, 32, 128, 64
+    E = B + 2 * e_lo
+    Dr = rng.poisson(2.0, (Cs, E, Xp)).astype(np.float32)
+    Db = (Dr * 0.7).astype(np.float32)
+    De = (Dr * 0.5 + 0.1).astype(np.float32)
+    e_pix = rng.integers(ww, B - 1, (Cs, P2)).astype(np.int32)
+    x_pix = rng.integers(0, Xp - 2 * x_pad - B, (Cs, P2)).astype(np.int32)
+    valid = rng.random((Cs, P2)) < 0.9
+    esc = sharded_loop_escalation(mesh, ww, maxww, pw, e_lo, x_pad)
+    outs = esc(jnp.asarray(Dr), jnp.asarray(Db), jnp.asarray(De),
+               jnp.asarray(e_pix), jnp.asarray(x_pix), jnp.asarray(valid))
+    for i in range(Cs):
+        ref = escalation_packed_maps(
+            jnp.asarray(Dr[i]), jnp.asarray(Db[i]), jnp.asarray(De[i]),
+            jnp.asarray(e_pix[i]), jnp.asarray(x_pix[i]),
+            jnp.asarray(valid[i]), ww, maxww, pw, B, e_lo, x_pad)
+        np.testing.assert_array_equal(np.asarray(outs[0])[i],
+                                      np.asarray(ref[0]))
+        for k in range(1, 5):
+            np.testing.assert_allclose(np.asarray(outs[k])[i],
+                                       np.asarray(ref[k]), rtol=1e-6)
+    print("OK sharded loop escalation matches single-device")
     return 0
 
 
