@@ -23,7 +23,8 @@ import numpy as np
 
 from ..core.contacts import pad_to_bucket
 from ..io.cooler import CoolerReader
-from ..ops.di import directionality_index, tad_gap_mask
+from ..ops.di import (directionality_index, directionality_index_band,
+                      tad_gap_mask, tad_gap_mask_counts)
 from ..ops.hmm import GMMHMM, baum_welch, viterbi
 from ..utils.logging import get_logger
 from .compartment import _proper_unit
@@ -281,6 +282,26 @@ def boundaries_to_domains(boundaries, segments, di: np.ndarray, res: int,
 _DI_BATCH_MAX_BYTES = 2 << 30
 
 
+def _bands_from_coo(rows, cols, vals, N: int, w: int, local_bin: int):
+    """Host: diagonal bands (ops/di._diag_bands layout) + the gap rule's
+    per-column nonzero counts, straight from upper-triangle COO — the dense
+    matrix never exists on either side of the link."""
+    d = cols - rows
+    up = np.zeros((w, N), np.float32)
+    down = np.zeros((w, N), np.float32)
+    for k in range(1, w + 1):
+        m = d == k
+        up[k - 1, cols[m]] = vals[m]
+        down[k - 1, rows[m]] = vals[m]
+    nz = vals != 0
+    cnt = np.bincount(cols[nz & (d >= 1) & (d <= local_bin)],
+                      minlength=N).astype(np.float32)
+    cnt += np.bincount(rows[nz & (d >= 1) & (d <= local_bin - 1)],
+                       minlength=N)
+    cnt += np.bincount(rows[nz & (d == 0)], minlength=N)
+    return up, down, cnt
+
+
 def _di_batched(reader: CoolerReader, chroms, balance: bool, res: int,
                 min_tad: int, window: int, test_type: str):
     """Gap + DI for all chromosomes in one vmapped dispatch per size group
@@ -289,15 +310,15 @@ def _di_batched(reader: CoolerReader, chroms, balance: bool, res: int,
     w = int(window / res)
 
     @jax.jit
-    def gap_di_batch(Mb, ns):
-        gaps = jax.vmap(lambda m, n: tad_gap_mask(m, n, local_bin))(Mb, ns)
+    def gap_di_batch(upb, downb, cntb, ns):
+        gaps = jax.vmap(lambda c, n: tad_gap_mask_counts(c, n, local_bin))(
+            cntb, ns)
         # Data_preprocess forces bins 0 and n-1 into the gap set before DI
-        N = Mb.shape[-1]
+        N = cntb.shape[-1]
         idx = jnp.arange(N)[None, :]
         forced = gaps | (idx == 0) | (idx == ns[:, None] - 1)
-        di = jax.vmap(lambda m, g, n: directionality_index(m, g, n, w,
-                                                           test_type))(
-            Mb, forced, ns)
+        di = jax.vmap(lambda u, dn, g, n: directionality_index_band(
+            u, dn, g, n, test_type))(upb, downb, forced, ns)
         return forced, di
 
     sizes = {}
@@ -310,18 +331,25 @@ def _di_batched(reader: CoolerReader, chroms, balance: bool, res: int,
 
     out = {}
     for N, group in sorted(by_pad.items()):
-        max_b = max(1, _DI_BATCH_MAX_BYTES // (N * N * 4))
+        max_b = max(1, _DI_BATCH_MAX_BYTES // ((2 * w + 1) * N * 4))
         for s in range(0, len(group), max_b):
             sub = group[s : s + max_b]
-            mats, ns = [], []
+            ups, downs, cnts, ns = [], [], [], []
             for c in sub:
-                Mj, n = reader.matrix_device(c, padded=N, balance=balance)
+                rows, cols, vals = reader.fetch_coo(c)
+                vals = vals.astype(np.float64)
                 if balance:
-                    Mj = jnp.nan_to_num(Mj)
-                mats.append(Mj)
-                ns.append(n)
-            gaps_b, di_b = gap_di_batch(jnp.stack(mats),
-                                        jnp.asarray(np.asarray(ns)))
+                    bw = np.asarray(reader.bins_weight(c), np.float64)
+                    vals = np.nan_to_num(vals * bw[rows] * bw[cols])
+                u, dn, cnt = _bands_from_coo(rows, cols, vals, N, w,
+                                             local_bin)
+                ups.append(u)
+                downs.append(dn)
+                cnts.append(cnt)
+                ns.append(sizes[c])
+            gaps_b, di_b = gap_di_batch(
+                jnp.asarray(np.stack(ups)), jnp.asarray(np.stack(downs)),
+                jnp.asarray(np.stack(cnts)), jnp.asarray(np.asarray(ns)))
             gaps_h = np.asarray(gaps_b)
             di_h = np.asarray(di_b)
             for k, c in enumerate(sub):

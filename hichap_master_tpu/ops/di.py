@@ -28,11 +28,10 @@ def _diag_bands(M: jnp.ndarray, w: int):
     return jnp.stack(ups), jnp.stack(downs)
 
 
-@functools.partial(jax.jit, static_argnames=("w", "test_type"))
-def directionality_index(M: jnp.ndarray, gap: jnp.ndarray, n: jnp.ndarray,
-                         w: int, test_type: str = "ttest") -> jnp.ndarray:
-    N = M.shape[0]
-    up, down = _diag_bands(M, w)  # [w, N]
+def _di_from_bands(up: jnp.ndarray, down: jnp.ndarray, gap: jnp.ndarray,
+                   n: jnp.ndarray, test_type: str) -> jnp.ndarray:
+    N = up.shape[1]
+    w = up.shape[0]
     j = jnp.arange(N)
 
     if test_type == "ttest":
@@ -55,6 +54,35 @@ def directionality_index(M: jnp.ndarray, gap: jnp.ndarray, n: jnp.ndarray,
 
     edge = (j < w) | (j > n - w - 1)
     return jnp.where(gap | edge | (j >= n), 0.0, di)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "test_type"))
+def directionality_index(M: jnp.ndarray, gap: jnp.ndarray, n: jnp.ndarray,
+                         w: int, test_type: str = "ttest") -> jnp.ndarray:
+    up, down = _diag_bands(M, w)  # [w, N]
+    return _di_from_bands(up, down, gap, n, test_type)
+
+
+@functools.partial(jax.jit, static_argnames=("test_type",))
+def directionality_index_band(up: jnp.ndarray, down: jnp.ndarray,
+                              gap: jnp.ndarray, n: jnp.ndarray,
+                              test_type: str = "ttest") -> jnp.ndarray:
+    """DI from precomputed diagonal bands ``up``/``down`` [w, N] (the
+    `_diag_bands` layout) — the dense matrix never materializes; at 40 kb
+    the band is ~1% of it."""
+    return _di_from_bands(up, down, gap, n, test_type)
+
+
+@functools.partial(jax.jit, static_argnames=("local_bin",))
+def tad_gap_mask_counts(nz_cnt: jnp.ndarray, n: jnp.ndarray,
+                        local_bin: int) -> jnp.ndarray:
+    """TAD gap rule from precomputed per-column nonzero counts over rows
+    [i-local_bin, i+local_bin) — band analogue of ``tad_gap_mask``."""
+    N = nz_cnt.shape[0]
+    i = jnp.arange(N)
+    t = 2 * local_bin * 0.8
+    interior = (i >= local_bin) & (i <= n - 1 - local_bin)
+    return jnp.where(interior, nz_cnt < t, True) | (i >= n)
 
 
 @functools.partial(jax.jit, static_argnames=("local_bin",))
