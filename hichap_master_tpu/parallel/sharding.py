@@ -154,3 +154,30 @@ def sharded_loop_escalation(mesh: Mesh, ww: int, maxww: int, pw: int,
 
     return jax.jit(fn, in_shardings=(c3, c3, c3, c2, c2, c2),
                    out_shardings=(c2, c2, c2, c2, c2))
+
+
+def sharded_compartment(mesh: Mesh, step: int = 0,
+                        pca_method: str = "subspace"):
+    """The fused compartment graph (decay → O/E → correlation → PCA →
+    signed PC selection, models/compartment.py) vmapped over a chromosome
+    batch and sharded over the flattened (chrom × bins) device set — each
+    chromosome's pipeline is device-local, so compartments scale
+    embarrassingly across the mesh.
+
+    Returns a jitted fn(Mb, gapb, nb, ngb, gb) -> (oe, cor, pcs, pc) with
+    Mb [C, N, N]; gapb [C, N] bool; nb/gb [C] ints; ngb [C, N] gather index
+    of non-gap columns (pad with 0)."""
+    from ..models.compartment import _compartment_fused
+
+    c3 = NamedSharding(mesh, P(("chrom", "bins"), None, None))
+    c2 = NamedSharding(mesh, P(("chrom", "bins"), None))
+    c1 = NamedSharding(mesh, P(("chrom", "bins")))
+
+    def fn(Mb, gapb, nb, ngb, gb):
+        return jax.vmap(
+            lambda m, g, n, ng, gg: _compartment_fused.__wrapped__(
+                m, g, n, ng, gg, step, pca_method)
+        )(Mb, gapb, nb, ngb, gb)
+
+    return jax.jit(fn, in_shardings=(c3, c2, c1, c2, c1),
+                   out_shardings=(c3, c3, None, c2))

@@ -115,6 +115,39 @@ def main() -> int:
             np.testing.assert_allclose(np.asarray(outs[k])[i],
                                        np.asarray(ref[k]), rtol=1e-6)
     print("OK sharded loop escalation matches single-device")
+
+    # --- sharded compartment == single-device fused graph ------------------
+    from hichap_master_tpu.models.compartment import _compartment_fused
+    from hichap_master_tpu.parallel.sharding import sharded_compartment
+
+    Cc, Nc, nc = 8, 128, 100
+    Mb = np.zeros((Cc, Nc, Nc), np.float32)
+    for i in range(Cc):
+        Mb[i, :nc, :nc] = synthetic_contact_matrix(rng, nc, gap_frac=0.05,
+                                                   scale=60.0)
+    gapb = np.zeros((Cc, Nc), bool)
+    gapb[:, nc:] = True
+    ngb = np.zeros((Cc, Nc), np.int32)
+    gbs = np.zeros(Cc, np.int32)
+    for i in range(Cc):
+        ng = np.flatnonzero(~gapb[i, :nc])
+        ngb[i, :ng.size] = ng
+        gbs[i] = ng.size
+    nb = np.full(Cc, nc, np.int32)
+    comp = sharded_compartment(mesh)
+    oe_b, cor_b, pcs_b, pc_b = comp(jnp.asarray(Mb), jnp.asarray(gapb),
+                                    jnp.asarray(nb), jnp.asarray(ngb),
+                                    jnp.asarray(gbs))
+    for i in range(Cc):
+        _, _, _, pc_ref = _compartment_fused(
+            jnp.asarray(Mb[i]), jnp.asarray(gapb[i]), jnp.asarray(nb[i]),
+            jnp.asarray(ngb[i]), jnp.asarray(gbs[i]), 0, "subspace")
+        ref = np.asarray(pc_ref)
+        got = np.asarray(pc_b)[i]
+        # PCA sign/solver tolerance: compare up to sign, loose tol
+        err = min(np.abs(got - ref).max(), np.abs(got + ref).max())
+        assert err < 1e-3, f"chrom {i}: pc mismatch {err}"
+    print("OK sharded compartment matches single-device")
     return 0
 
 
