@@ -66,6 +66,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.hicio_merge_sorted.restype = ctypes.c_int
     lib.hicio_count_lines.argtypes = [ctypes.c_char_p]
     lib.hicio_count_lines.restype = ctypes.c_long
+    lib.hicio_sam_sort_merge.argtypes = [ctypes.POINTER(ctypes.c_char_p),
+                                         ctypes.c_int, ctypes.c_char_p]
+    lib.hicio_sam_sort_merge.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -111,6 +114,27 @@ def merge_sorted(paths: Sequence[str], out_path: str,
             out.write(line)
     for f in files:
         f.close()
+
+
+def sam_sort_merge(paths: Sequence[str], out_path: str) -> None:
+    """Merge SAM bodies from several files (headers dropped), globally
+    name-sorted, stable in (file, line) order — the ``samtools merge -n``
+    analogue (bamProcess.py:730,1498).  External-memory in the native
+    path; the Python fallback sorts in memory."""
+    lib = get_lib()
+    if lib is not None:
+        arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+        rc = lib.hicio_sam_sort_merge(arr, len(paths), out_path.encode())
+        if rc == 0:
+            return
+        log.warning("hicio_sam_sort_merge rc=%d; Python fallback", rc)
+    lines: List[str] = []
+    for p in paths:
+        with open(p) as f:
+            lines.extend(l for l in f if l and l[0] != "@")
+    lines.sort(key=lambda l: l.split("\t", 1)[0])
+    with open(out_path, "w") as out:
+        out.writelines(lines)
 
 
 def count_lines(path: str) -> int:

@@ -100,9 +100,32 @@ def write_sam(path: str, records: List[AlnRecord],
                 "*", "0", "0", r.seq, r.qual] + tags) + "\n")
 
 
+_NATIVE_MERGE_MIN_BYTES = 32 << 20
+
+
 def read_sam_sorted_by_name(paths: List[str]) -> List[AlnRecord]:
     """Merge several SAM files and name-sort (``samtools merge -n`` +
-    sort parity for the group-by-name consumer)."""
+    sort parity for the group-by-name consumer).  Large inputs route
+    through the native external-memory merge (native/hicio.cpp) so the
+    Python string layer only sees the already-ordered stream."""
+    import os
+    import tempfile
+
+    total = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
+    if total >= _NATIVE_MERGE_MIN_BYTES:
+        from .native import get_lib, sam_sort_merge
+
+        if get_lib() is not None:
+            with tempfile.NamedTemporaryFile(
+                    "w", suffix=".sam", delete=False,
+                    dir=os.path.dirname(os.path.abspath(paths[0]))) as tf:
+                merged = tf.name
+            try:
+                sam_sort_merge(paths, merged)
+                return list(read_sam(merged))
+            finally:
+                os.unlink(merged)
+
     records: List[AlnRecord] = []
     for p in paths:
         records.extend(read_sam(p))

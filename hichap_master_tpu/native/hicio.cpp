@@ -12,6 +12,10 @@
 //        mode 1: HiC dedup key (chr1, strand1, pos1, chr2, strand2, pos2) =
 //                columns 1,2,3,8,9,10 with numeric positions
 //   hicio_merge_sorted(files, n, out) — k-way merge of sorted files
+//   hicio_sam_sort_merge(files, n, out) — merge SAM bodies from n files
+//        (headers dropped) globally sorted by query name, stable in
+//        (file, line) order — the `samtools merge -n` + name-sort step of
+//        alignment integration (HiCHap/bamProcess.py:730,1498)
 //   hicio_count_lines(path)
 //
 // Build: g++ -O3 -std=c++17 -shared -fPIC hicio.cpp -o libhicio.so
@@ -19,6 +23,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <fstream>
 #include <queue>
@@ -78,7 +83,12 @@ static void sort_lines(std::vector<std::string>& lines, int mode) {
     }
 }
 
-static const size_t CHUNK_BYTES = 512ull << 20;  // spill threshold
+// spill threshold; HICIO_CHUNK_BYTES overrides (exercises the
+// external-memory path in tests)
+static size_t chunk_bytes() {
+    const char* e = std::getenv("HICIO_CHUNK_BYTES");
+    return e ? std::strtoull(e, nullptr, 10) : (512ull << 20);
+}
 
 }  // namespace
 
@@ -126,7 +136,7 @@ int hicio_sort_file(const char* in_path, const char* out_path, int mode) {
     while (std::getline(in, line)) {
         bytes += line.size() + 1;
         lines.push_back(std::move(line));
-        if (bytes >= CHUNK_BYTES) {
+        if (bytes >= chunk_bytes()) {
             if (spill(false)) return 1;
         }
     }
@@ -167,6 +177,111 @@ int hicio_sort_file(const char* in_path, const char* out_path, int mode) {
     if (mode == 0) merge(cmp_whole);
     else merge(cmp_k6);
 
+    for (auto& f : chunk_files) std::remove(f.c_str());
+    return 0;
+}
+
+// SAM body merge-sort: lines from all inputs (headers skipped), globally
+// sorted by query name (field 0), ties broken by global (file, line)
+// sequence — identical to appending the files and running a stable sort.
+// External-memory: spills sorted chunks with a zero-padded sequence prefix
+// and k-way merges, so multi-GB alignment sets never load whole.
+int hicio_sam_sort_merge(const char** paths, int n, const char* out_path) {
+    struct Rec {
+        std::string line;
+        uint64_t seq;
+    };
+    auto qname_end = [](const std::string& l) {
+        size_t e = l.find('\t');
+        return e == std::string::npos ? l.size() : e;
+    };
+    auto less_rec = [&](const Rec& a, const Rec& b) {
+        int c = std::strncmp(a.line.c_str(), b.line.c_str(),
+                             std::min(qname_end(a.line), qname_end(b.line)));
+        if (c != 0) return c < 0;
+        size_t la = qname_end(a.line), lb = qname_end(b.line);
+        if (la != lb) return la < lb;
+        return a.seq < b.seq;
+    };
+
+    std::vector<std::string> chunk_files;
+    std::vector<Rec> recs;
+    size_t bytes = 0;
+    uint64_t seq = 0;
+
+    auto spill_name = [&]() {
+        return std::string(out_path) + ".schk" +
+               std::to_string(chunk_files.size());
+    };
+    auto spill = [&]() -> int {
+        std::sort(recs.begin(), recs.end(), less_rec);
+        std::string name = spill_name();
+        std::ofstream out(name);
+        if (!out) return 1;
+        char pre[32];
+        for (auto& r : recs) {
+            std::snprintf(pre, sizeof pre, "%020llu\t",
+                          (unsigned long long)r.seq);
+            out << pre << r.line << '\n';
+        }
+        chunk_files.push_back(name);
+        recs.clear();
+        bytes = 0;
+        return 0;
+    };
+
+    for (int i = 0; i < n; ++i) {
+        std::ifstream in(paths[i]);
+        if (!in) return 1;
+        std::string line;
+        while (std::getline(in, line)) {
+            if (!line.empty() && line[0] == '@') continue;
+            bytes += line.size() + 1;
+            recs.push_back({std::move(line), seq++});
+            if (bytes >= chunk_bytes()) {
+                if (spill()) return 1;
+            }
+        }
+    }
+
+    if (chunk_files.empty()) {
+        std::sort(recs.begin(), recs.end(), less_rec);
+        std::ofstream out(out_path);
+        if (!out) return 1;
+        for (auto& r : recs) out << r.line << '\n';
+        return 0;
+    }
+    if (!recs.empty() && spill()) return 1;
+
+    // merge: chunk lines are "seq\tSAMLINE" — compare (qname, seq)
+    auto chunk_rec = [&](const std::string& l) -> Rec {
+        size_t t = l.find('\t');
+        return {l.substr(t + 1), std::strtoull(l.c_str(), nullptr, 10)};
+    };
+    struct Head {
+        Rec rec;
+        size_t idx;
+    };
+    auto cmp = [&](const Head& a, const Head& b) {
+        return less_rec(b.rec, a.rec);
+    };
+    std::vector<std::ifstream> streams;
+    streams.reserve(chunk_files.size());
+    for (auto& f : chunk_files) streams.emplace_back(f);
+    std::ofstream out(out_path);
+    if (!out) return 1;
+    std::priority_queue<Head, std::vector<Head>, decltype(cmp)> pq(cmp);
+    for (size_t i = 0; i < streams.size(); ++i) {
+        std::string l;
+        if (std::getline(streams[i], l)) pq.push({chunk_rec(l), i});
+    }
+    while (!pq.empty()) {
+        Head h = pq.top();
+        pq.pop();
+        out << h.rec.line << '\n';
+        std::string l;
+        if (std::getline(streams[h.idx], l)) pq.push({chunk_rec(l), h.idx});
+    }
     for (auto& f : chunk_files) std::remove(f.c_str());
     return 0;
 }

@@ -63,3 +63,76 @@ def test_merge_sorted(tmp_path, rng):
                  str(out), "name")
     got = out.read_text().splitlines()
     assert got == sorted(a + b)
+
+
+def test_sam_sort_merge(tmp_path, rng):
+    from hichap_master_tpu.io.native import sam_sort_merge
+
+    paths = []
+    expected = []
+    for i in range(3):
+        p = tmp_path / f"f{i}.sam"
+        lines = [f"@HD\tVN:1.0"]
+        for j in range(50):
+            q = f"r{rng.integers(0, 40)}_{i}"
+            lines.append(f"{q}\t0\tchr1\t{j+1}\t42\t*\t*\t0\t0\tACGT\tIIII")
+            expected.append((q, i, j))
+        p.write_text("\n".join(lines) + "\n")
+        paths.append(str(p))
+    out = tmp_path / "merged.sam"
+    sam_sort_merge(paths, str(out))
+    got = [l.split("\t")[0] for l in out.read_text().splitlines()]
+    expected.sort(key=lambda t: (t[0], t[1], t[2]))  # stable by (file, line)
+    assert got == [q for q, _, _ in expected]
+    # no headers in the body
+    assert all(not g.startswith("@") for g in got)
+
+
+def test_read_sam_sorted_by_name_native_parity(tmp_path, rng, monkeypatch):
+    import hichap_master_tpu.io.sam as sam_mod
+    from hichap_master_tpu.io.sam import read_sam_sorted_by_name, write_sam
+    from hichap_master_tpu.io.sam import AlnRecord
+
+    paths = []
+    for i in range(2):
+        recs = [AlnRecord(query_name=f"q{rng.integers(0, 30)}", flag=0,
+                          reference_name="chr1", pos=int(j), mapq=40,
+                          seq="ACGT", qual="IIII", tag_as=0, tag_xs=None)
+                for j in range(40)]
+        p = tmp_path / f"a{i}.sam"
+        write_sam(str(p), recs)
+        paths.append(str(p))
+
+    py = read_sam_sorted_by_name(paths)
+    monkeypatch.setattr(sam_mod, "_NATIVE_MERGE_MIN_BYTES", 0)
+    nat = read_sam_sorted_by_name(paths)
+    assert [(r.query_name, r.pos, r.flag) for r in nat] == \
+        [(r.query_name, r.pos, r.flag) for r in py]
+
+
+def test_sam_sort_merge_spill_path(tmp_path, rng, monkeypatch):
+    # force external-memory spills with a tiny chunk threshold
+    import hichap_master_tpu.io.native as native
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    monkeypatch.setenv("HICIO_CHUNK_BYTES", "256")
+    from hichap_master_tpu.io.native import sam_sort_merge
+
+    paths, expected = [], []
+    for i in range(2):
+        p = tmp_path / f"s{i}.sam"
+        lines = []
+        for j in range(200):
+            q = f"n{rng.integers(0, 60):03d}"
+            lines.append(f"{q}\t0\tchr1\t{j+1}\t42\t*\t*\t0\t0\tAC\tII")
+            expected.append((q, i, j, lines[-1]))
+        p.write_text("\n".join(lines) + "\n")
+        paths.append(str(p))
+    out = tmp_path / "m.sam"
+    sam_sort_merge(paths, str(out))
+    got = out.read_text().splitlines()
+    expected.sort(key=lambda t: (t[0], t[1], t[2]))
+    assert got == [l for _, _, _, l in expected]
+    # spill chunks cleaned up
+    assert not list(tmp_path.glob("m.sam.schk*"))
