@@ -104,10 +104,19 @@ def cpu_iters_per_sec() -> float:
     return CPU_SAMPLE_ITERS / dt
 
 
+# Best CPU-oracle throughput observed on an idle host (iters/s); the live
+# re-measurement on this 1-core box varies ~3x with load, so vs_baseline
+# pins to this unless BENCH_MEASURE_CPU=1.
+CPU_BASELINE_ITERS_PER_SEC = 2.1
+
+
 def main():
     _enable_compile_cache()
     tpu = tpu_iters_per_sec()
-    cpu = cpu_iters_per_sec()
+    if os.environ.get("BENCH_MEASURE_CPU") == "1":
+        cpu = cpu_iters_per_sec()
+    else:
+        cpu = CPU_BASELINE_ITERS_PER_SEC
     print(json.dumps({
         "metric": "genomewide_ice_iters_per_sec_10kb_chr1",
         "value": round(tpu, 2),
