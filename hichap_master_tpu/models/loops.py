@@ -523,11 +523,15 @@ def call_peaks(cooler_path: str, res: int, allelic, outfil: str,
 
 
 def loop_selecting(matrices, res: int, input_fil: str, output_fil: str,
-                   loop_ratio: float = 0.6, loop_strength: float = 16):
+                   loop_ratio: float = 0.6, loop_strength: float = 16,
+                   strict_parity: bool = False):
     """Distance-quantile + strength post-filter (StructureFind.py:2063-2094;
-    resolution parameterized instead of the hardcoded 40 kb)."""
+    resolution parameterized instead of the hardcoded 40 kb — DIVERGENCES
+    D5; ``strict_parity=True`` reproduces the reference's `// 40000`)."""
     import bisect
 
+    if strict_parity:
+        res = 40_000
     with open(input_fil) as f, open(output_fil, "w") as o:
         header = f.readline()
         o.write(header)
