@@ -48,10 +48,12 @@ def _sweep_kernel(m_ref, b_in_ref, b_out_ref, stat_ref, marg_ref, b_ref,
     def _():
         b_ref[:] = b_in_ref[:]
 
-    # Partial matvec of this (row, col) tile on the MXU.
+    # Partial matvec of this (row, col) tile on the MXU.  bf16 tiles use the
+    # MXU's native bf16 x bf16 -> f32 mode (b cast per tile; the bias itself
+    # stays f32 in VMEM).
     col0 = j * TILE_C
     bcol = b_ref[0, pl.ds(col0, TILE_C)].reshape(-1, 1)
-    part = jnp.dot(m_ref[:], bcol,
+    part = jnp.dot(m_ref[:], bcol.astype(m_ref.dtype),
                    preferred_element_type=jnp.float32).reshape(1, -1)
 
     @pl.when(j == 0)
@@ -94,8 +96,8 @@ def pallas_ice_sweeps(M0: jnp.ndarray, b0: jnp.ndarray, iters: int = 10,
                       interpret: bool = False):
     """Run ``iters`` ICE iterations on a pre-filtered matrix.
 
-    M0 : [N, N] float32, ignored diagonals and dead rows already zeroed,
-         N a multiple of 2048
+    M0 : [N, N] float32 or bfloat16 (2x HBM-bandwidth mode), ignored
+         diagonals and dead rows already zeroed, N a multiple of 2048
     b0 : [1, N] float32 initial bias (0 at filtered bins)
     Returns (b [1,N], var, scale) after the sweep.
     """
@@ -136,10 +138,12 @@ def ice_balance_pallas(M: jnp.ndarray, n, *, ignore_diags: int = 1,
                        mad_max: int = 5, min_nnz: int = 10,
                        min_count: int = 0, tol: float = 1e-5,
                        max_iters: int = 200, block: int = 10,
-                       interpret: bool = False):
+                       fast: bool = False, interpret: bool = False):
     """Drop-in ICE with the Pallas fused sweep (ops.balance.ice_balance
     parity).  Runs fixed blocks of ``block`` iterations until the variance
-    of nonzero marginals converges."""
+    of nonzero marginals converges.  ``fast=True`` streams the matrix as
+    bfloat16 (half the HBM traffic per sweep; weights deviate <=1e-3 like
+    ops.balance's fast mode), filters still computed in f32."""
     dtype = jnp.float32
     N = M.shape[0]
     valid = valid_row_mask(jnp.asarray(n), N)
@@ -156,6 +160,8 @@ def ice_balance_pallas(M: jnp.ndarray, n, *, ignore_diags: int = 1,
         dev = masked_median(jnp.abs(logm - med), sel)
         keep = keep & (marg0 >= jnp.exp(med - mad_max * dev))
     b = jnp.where(keep, 1.0, 0.0).astype(dtype).reshape(1, N)
+    if fast:
+        M0 = M0.astype(jnp.bfloat16)
 
     var = np.inf
     scale = 1.0

@@ -51,3 +51,18 @@ def test_pallas_sweep_single_iteration_exact(rng):
     np.testing.assert_allclose(np.asarray(b1)[0], 1.0 / margn, rtol=1e-6)
     assert float(scale) == pytest.approx(mean, rel=1e-6)
     assert float(var) == pytest.approx(want_var, rel=1e-5)
+
+
+def test_pallas_ice_bf16_mode(rng):
+    N, n = TILE_C, 1800
+    M = np.zeros((N, N), np.float32)
+    M[:n, :n] = synthetic_contact_matrix(rng, n, gap_frac=0.05, scale=60.0)
+    w_ref, _ = ice_balance(jnp.asarray(M), jnp.asarray(n), tol=0.0,
+                           max_iters=10)
+    w_fast, s = ice_balance_pallas(jnp.asarray(M), n, tol=0.0, max_iters=10,
+                                   block=10, fast=True, interpret=True)
+    wr, wf = np.asarray(w_ref), np.asarray(w_fast)
+    assert (np.isnan(wr) == np.isnan(wf)).all()
+    m = ~np.isnan(wr)
+    # bf16-stored matrix: same weights to ~1e-3 relative
+    np.testing.assert_allclose(wf[m], wr[m], rtol=3e-3)
