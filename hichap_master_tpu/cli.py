@@ -311,6 +311,14 @@ def run(argv=None) -> int:
     elif args.command == "matrix":
         from .pipeline.matrix import (
             haplotype_matrix_construction, traditional_matrix_construction)
+        if not os.path.exists(args.genomeSize):
+            hint = os.path.join(args.workspace, WS_DIRS["genome"],
+                                "genomeSize")
+            raise FileNotFoundError(
+                f"genomeSize file not found: {args.genomeSize!r}"
+                + (f" (rebuildG wrote {hint})" if os.path.exists(hint)
+                   else " (run rebuildG first; it writes "
+                        "<workspace>/genome/genomeSize)"))
         if args.NonAllelic:
             traditional_matrix_construction(
                 args.out, args.bedPath, args.genomeSize,
