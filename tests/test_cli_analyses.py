@@ -1,0 +1,62 @@
+"""Analysis sub-commands (compartment/tads/loops/specificity) through the
+CLI surface on a synthetic cooler."""
+
+import os
+
+import numpy as np
+import pytest
+
+from hichap_master_tpu.cli import run
+from hichap_master_tpu.core import Genome
+from hichap_master_tpu.io import CoolerReader, write_cooler
+
+RES = 40_000
+
+
+@pytest.fixture
+def cool(tmp_path, rng):
+    g = Genome({"1": 4_000_000})
+    n = g.n_bins("1", RES)
+    i = np.arange(n)
+    d = np.abs(np.subtract.outer(i, i)) + 1.0
+    same = np.equal.outer(i // 20, i // 20)
+    M = rng.poisson(60.0 / d**0.8 * np.where(same, 4.0, 1.0)).astype(
+        np.float32)
+    M = np.triu(M) + np.triu(M, 1).T
+    for _ in range(8):
+        x = int(rng.integers(5, n - 60))
+        y = x + int(rng.integers(10, 45))
+        M[x, y] = M[y, x] = M[x, y] * 8 + 80
+    path = str(tmp_path / "a.cool")
+    write_cooler(path, g, RES, {"1": M})
+    r = CoolerReader(path, RES)
+    r.set_weights(np.ones(r.nbins))
+    return path
+
+
+def test_cli_compartment(cool, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "PC")
+    assert run(["compartment", "-w", "wsdir", "-c", cool,
+                "-R", str(RES), "-o", out]) == 0
+    files = os.listdir(out)
+    assert any("PC" in f or f.endswith(".txt") for f in files), files
+
+
+def test_cli_tads(cool, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "TAD")
+    assert run(["tads", "-w", "wsdir", "-c", cool, "-R", str(RES),
+                "-o", out, "--minTAD", "120000", "--window", "400000"]) == 0
+    names = os.listdir(out)
+    assert any("Domain" in f for f in names), names
+    assert any("DI" in f for f in names), names
+
+
+def test_cli_loops(cool, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "LP")
+    assert run(["loops", "-w", "wsdir", "-c", cool, "-R", str(RES),
+                "-o", out, "--loop-strength", "4"]) == 0
+    names = os.listdir(out)
+    assert any(f.startswith("Cluster_Selected") for f in names), names
