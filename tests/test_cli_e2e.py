@@ -53,3 +53,31 @@ def test_cli_matrix_genomesize_hint(tmp_path, rng, monkeypatch):
     with pytest.raises(FileNotFoundError, match="rebuildG"):
         run(["matrix", "-w", "wsdir", "-b", "beds", "-o", "out",
              "-gs", "missing_file", "-wR", "10000"])
+
+
+def test_cli_nonallelic_chain(tmp_path, rng, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    data = diploid_dataset(rng, str(tmp_path / "data"), n_pairs=150,
+                           n_snps=10, read_len=40)
+    ws = ["-w", "wsdir"]
+
+    assert run(["rebuildG", *ws, "-N", "-g", data["fasta"],
+                "-e", "MboI"]) == 0
+    assert run(["rebuildF", *ws, "-1", data["fq1"], "-2", data["fq2"],
+                "-c", "100"]) == 0
+    # non-allelic: one index — the raw genome is used in place (reference
+    # behavior: rebuildG -N indexes the input FASTA, no workspace copy)
+    raw_fa = data["fasta"]
+    assert run(["GlobalMapping", *ws, "-i", raw_fa, "--fake-aligner"]) == 0
+    assert run(["Rescue", *ws, "-e", "MboI"]) == 0
+    assert run(["ReMapping", *ws, "-i", raw_fa, "--fake-aligner"]) == 0
+    frag = next(os.path.join(r, f) for r, _, fs in os.walk("wsdir/genome")
+                for f in fs if f.endswith("fragments.txt"))
+    assert run(["bamProcess", *ws, "-N", "-f", frag,
+                "--readlen", "40"]) == 0
+    assert run(["filtering", *ws, "-N"]) == 0
+    assert run(["matrix", *ws, "-N", "-b", "wsdir/Filtered_Bed",
+                "-o", "wsdir/Mat", "-gs", "wsdir/genome/genomeSize",
+                "-wR", "10000", "-lR", "5000"]) == 0
+    coolers = os.listdir("wsdir/Mat/Cooler")
+    assert any(f.endswith(".cool") for f in coolers), coolers
