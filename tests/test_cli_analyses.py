@@ -60,3 +60,20 @@ def test_cli_loops(cool, tmp_path, monkeypatch):
                 "-o", out, "--loop-strength", "4"]) == 0
     names = os.listdir(out)
     assert any(f.startswith("Cluster_Selected") for f in names), names
+
+
+def test_cli_specificity_compartment(tmp_path, rng, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    n = 80
+    m = rng.normal(0, 1, n)
+    p = m.copy()
+    p[10:14] = -p[10:14] - 2.0  # strongly discordant bins
+    for name, vals in (("m_pc.txt", m), ("p_pc.txt", p)):
+        with open(name, "w") as f:
+            for v in vals:
+                f.write(f"1\t{v:.6f}\n")
+    assert run(["specificity", "compartment", "-w", "wsdir",
+                "-R", "500000", "-i", "m_pc.txt", "p_pc.txt",
+                "-o", "comp_spec.txt"]) == 0
+    lines = open("comp_spec.txt").read().splitlines()
+    assert len(lines) > 1, lines[:3]
