@@ -77,3 +77,44 @@ def test_cli_specificity_compartment(tmp_path, rng, monkeypatch):
                 "-o", "comp_spec.txt"]) == 0
     lines = open("comp_spec.txt").read().splitlines()
     assert len(lines) > 1, lines[:3]
+
+
+def test_cli_allelic_analyses(tmp_path, rng, monkeypatch):
+    """compartment/tads/loops with -A Maternal at the CLI surface."""
+    from hichap_master_tpu.core import Genome as _G
+    from hichap_master_tpu.io import write_cooler as _wc
+
+    monkeypatch.chdir(tmp_path)
+    n, res = 150, 40_000
+    g = _G({"1": n * res - res // 2})
+    hap = g.haplotype()
+    i = np.arange(n)
+    d = np.abs(np.subtract.outer(i, i)).astype(float)
+    same = np.equal.outer(i // 15, i // 15)
+    mats = {}
+    for c in ("M1", "P1"):
+        lam = (40.0 / (1 + d) + 0.3) * np.where(same, 3.0, 1.0)
+        lam[30, 55] *= 8
+        M = rng.poisson(lam).astype(float)
+        mats[c] = np.triu(M) + np.triu(M, 1).T
+    path = str(tmp_path / "hap.cool")
+    _wc(path, hap, res, mats, dtype="float")
+    gap_file = str(tmp_path / "gaps.npz")
+    np.savez(gap_file, **{str(res): np.array(
+        {"M1": np.array([0]), "P1": np.array([0])}, dtype=object)})
+    with open("trad_pc.txt", "w") as f:
+        for v in rng.normal(0, 1, n):
+            f.write(f"1\t{v:.5f}\n")
+
+    assert run(["compartment", "-w", "wsdir", "-c", path, "-R", str(res),
+                "-A", "Maternal", "-o", str(tmp_path / "MPC"),
+                "--traditional-pc", "trad_pc.txt"]) == 0
+    assert run(["tads", "-w", "wsdir", "-c", path, "-R", str(res),
+                "-A", "Maternal", "-o", str(tmp_path / "MTAD"),
+                "--minTAD", "120000", "--window", "400000"]) == 0
+    assert run(["loops", "-w", "wsdir", "-c", path, "-R", str(res),
+                "-A", "Maternal", "-o", str(tmp_path / "MLP"),
+                "--gap-file", gap_file]) == 0
+    assert os.listdir(tmp_path / "MPC")
+    assert any("Domain" in f for f in os.listdir(tmp_path / "MTAD"))
+    assert os.listdir(tmp_path / "MLP")
