@@ -1,0 +1,61 @@
+"""bedio parsing units: ragged valid-bed columns, unknown-chrom filtering,
+streaming == batch, tag mapping."""
+
+import numpy as np
+import pytest
+
+from hichap_master_tpu.core import Genome
+from hichap_master_tpu.io.bedio import (TAG_BOTH, TAG_R1, TAG_R2,
+                                        iter_allelic_bed, iter_valid_bed,
+                                        read_allelic_bed, read_valid_bed)
+
+
+@pytest.fixture
+def genome():
+    return Genome({"1": 1_000_000, "2": 1_000_000})
+
+
+def _valid_line(c1, p1, c2, p2, ncols):
+    # 23-col reference layout; only fields 1,6,8,13 are consumed
+    f = ["x"] * ncols
+    f[1], f[6], f[8], f[13] = str(c1), str(p1), str(c2), str(p2)
+    return "\t".join(f)
+
+
+def test_read_valid_bed_ragged_and_filtered(tmp_path, genome):
+    p = tmp_path / "v.bed"
+    p.write_text("\n".join([
+        _valid_line("1", 100, "2", 200, 15),
+        _valid_line("2", 300, "1", 400, 23),   # ragged widths mix
+        _valid_line("chrUn", 1, "1", 2, 15),   # unknown chrom dropped
+    ]) + "\n")
+    c1, p1, c2, p2 = read_valid_bed([str(p)], genome)
+    assert list(p1) == [100, 300] and list(p2) == [200, 400]
+    assert c1.tolist() == [0, 1] and c2.tolist() == [1, 0]
+
+
+def test_iter_valid_matches_batch(tmp_path, genome):
+    rng = np.random.default_rng(0)
+    p = tmp_path / "big.bed"
+    lines = [_valid_line(str(rng.integers(1, 3)), rng.integers(0, 1_000_000),
+                         str(rng.integers(1, 3)), rng.integers(0, 1_000_000),
+                         15) for _ in range(500)]
+    p.write_text("\n".join(lines) + "\n")
+    batch = read_valid_bed([str(p)], genome)
+    parts = list(iter_valid_bed([str(p)], genome, read_bytes=512))
+    assert len(parts) > 1, "streaming should chunk"
+    streamed = [np.concatenate([pt[i] for pt in parts]) for i in range(4)]
+    for a, b in zip(batch, streamed):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_allelic_tags_and_stream(tmp_path, genome):
+    p = tmp_path / "a.bed"
+    p.write_text("1\t100\t2\t200\tBoth\n"
+                 "2\t300\t1\t400\tR1\n"
+                 "1\t500\t1\t600\tR2\n")
+    c1, p1, c2, p2, tag = read_allelic_bed([str(p)], genome, with_tag=True)
+    assert tag.tolist() == [TAG_BOTH, TAG_R1, TAG_R2]
+    parts = list(iter_allelic_bed([str(p)], genome, True, read_bytes=16))
+    streamed = np.concatenate([pt[4] for pt in parts])
+    np.testing.assert_array_equal(streamed, tag)
