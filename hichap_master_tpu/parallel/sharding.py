@@ -97,6 +97,54 @@ def sharded_genomewide_correction(mesh: Mesh):
                    out_shardings=m_sharding)
 
 
+def sharded_sparse_ice(mesh: Mesh, R: int, T: int, *, max_iters: int = 200,
+                       tol: float = 1e-5, reduce: str = "onehot"):
+    """Genome-wide ICE on the block-sparse layout (ops/sparse.py), tiles
+    sharded over the flattened (chrom x bins) device set.
+
+    Each device holds K/D tiles; the per-iteration marginal's block-row
+    reduction is a [R, K] @ [K, T] contraction over the sharded tile axis,
+    which GSPMD partitions into a psum over ICI — the bias vector stays
+    replicated (R*T floats, trivially small next to the tiles).  This is the
+    formulation that makes a true genome-wide 10 kb matrix (~304k bins for
+    hg19, ~370 GB dense) representable: storage scales with occupied tiles
+    and shards linearly across the mesh.  Pad K to the device count with
+    ``ops.sparse.pad_blocks``.
+    """
+    from ..ops.sparse import sparse_ice_balance
+
+    tile_s = NamedSharding(mesh, P(("chrom", "bins"), None, None))
+    k_s = NamedSharding(mesh, P(("chrom", "bins")))
+    rep = NamedSharding(mesh, P())
+
+    def fn(tiles, brow, bcol, n):
+        return sparse_ice_balance(tiles, brow, bcol, n, R=R, T=T,
+                                  max_iters=max_iters, tol=tol, reduce=reduce)
+
+    return jax.jit(fn, in_shardings=(tile_s, k_s, k_s, rep),
+                   out_shardings=(rep, None))
+
+
+def sharded_sparse_genomewide(mesh: Mesh, R: int, T: int,
+                              reduce: str = "onehot"):
+    """Genome-wide two-step correction on asymmetric block storage
+    (ops/sparse.sparse_genomewide_correction), U/L tile pairs sharded over
+    the flattened device set; the VC row sums psum over the mesh and the
+    corrected tiles come back still sharded (never densified)."""
+    from ..ops.sparse import sparse_genomewide_correction
+
+    tile_s = NamedSharding(mesh, P(("chrom", "bins"), None, None))
+    k_s = NamedSharding(mesh, P(("chrom", "bins")))
+    rep = NamedSharding(mesh, P())
+
+    def fn(U, L, brow, bcol, alpha_full):
+        return sparse_genomewide_correction(U, L, brow, bcol, alpha_full,
+                                            R=R, T=T, reduce=reduce)
+
+    return jax.jit(fn, in_shardings=(tile_s, tile_s, k_s, k_s, rep),
+                   out_shardings=tile_s)
+
+
 def analysis_train_step(mesh: Mesh):
     """The framework's full "training step" over a device mesh:
 

@@ -86,6 +86,55 @@ def main() -> int:
     assert np.isfinite(np.asarray(di)).all()
     print("OK analysis_train_step over", dict(mesh.shape))
 
+    # --- sparse genome-wide ICE: sharded == single device ------------------
+    from hichap_master_tpu.ops.sparse import (asym_blocks_from_coo,
+                                              blocks_from_dense,
+                                              ice_balance_blocks,
+                                              genomewide_correction_blocks,
+                                              pad_blocks,
+                                              blocks_to_dense)
+    from hichap_master_tpu.parallel import (sharded_sparse_ice,
+                                            sharded_sparse_genomewide)
+
+    n3 = 520
+    i3 = np.arange(n3)
+    d3 = np.abs(np.subtract.outer(i3, i3))
+    Msp = (rng.poisson(40.0 / (d3 + 1.0)) * (d3 < 96)).astype(np.float32)
+    Msp = np.triu(Msp)
+    Msp = Msp + np.triu(Msp, 1).T
+    bm = pad_blocks(blocks_from_dense(Msp, T=64), 8)
+    fn3 = sharded_sparse_ice(mesh, bm.R, bm.T, max_iters=50)
+    w_sp, _ = fn3(jnp.asarray(bm.tiles), jnp.asarray(bm.brow),
+                  jnp.asarray(bm.bcol), jnp.asarray(n3))
+    w_1c, _ = ice_balance_blocks(bm, max_iters=50)
+    w_sp = np.asarray(w_sp)[:n3]
+    w_1c = np.asarray(w_1c)
+    np.testing.assert_array_equal(np.isnan(w_sp), np.isnan(w_1c))
+    msk = ~np.isnan(w_1c)
+    np.testing.assert_allclose(w_sp[msk], w_1c[msk], rtol=1e-4)
+    print("OK sharded sparse ICE matches single-device")
+
+    Hasym = (Msp * rng.uniform(0.5, 1.5, Msp.shape)).astype(np.float32)
+    ri, ci = np.nonzero(Hasym)
+    ab = asym_blocks_from_coo(ri, ci, Hasym[ri, ci], n3, T=64)
+    # pad the shared coordinate list to the device count
+    padU = pad_blocks(type(bm)(tiles=ab.U, brow=ab.brow, bcol=ab.bcol,
+                               n=ab.n, T=ab.T, R=ab.R), 8)
+    padL = pad_blocks(type(bm)(tiles=ab.L, brow=ab.brow, bcol=ab.bcol,
+                               n=ab.n, T=ab.T, R=ab.R), 8)
+    af = np.ones(ab.R * ab.T, np.float32)
+    af[:n3] = rng.uniform(0.4, 1.0, n3).astype(np.float32)
+    fn4 = sharded_sparse_genomewide(mesh, ab.R, ab.T)
+    cor_sh = fn4(jnp.asarray(padU.tiles), jnp.asarray(padL.tiles),
+                 jnp.asarray(padU.brow), jnp.asarray(padU.bcol),
+                 jnp.asarray(af))
+    ref_bm = genomewide_correction_blocks(ab, af[:n3])
+    got = blocks_to_dense(type(bm)(tiles=np.asarray(cor_sh), brow=padU.brow,
+                                   bcol=padU.bcol, n=n3, T=ab.T, R=ab.R))
+    want = blocks_to_dense(ref_bm)
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-6)
+    print("OK sharded sparse genome-wide correction matches single-device")
+
     # --- sharded loop escalation == single-device map-space path ----------
     from hichap_master_tpu.ops.loops_packed import (escalation_packed_maps,
                                                     pack_margins)

@@ -27,3 +27,6 @@ def test_sharded_ops_match_single_device():
     assert "OK sharded two-step matches single-device" in r.stdout
     assert "OK sharded ICE matches single-device" in r.stdout
     assert "OK analysis_train_step" in r.stdout
+    assert "OK sharded sparse ICE matches single-device" in r.stdout
+    assert ("OK sharded sparse genome-wide correction matches single-device"
+            in r.stdout)

@@ -1,0 +1,153 @@
+"""Block-sparse genome-wide engine vs dense oracles (ops/sparse.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hichap_master_tpu.ops.balance import ice_balance
+from hichap_master_tpu.ops.correct import genomewide_correction
+from hichap_master_tpu.ops.sparse import (
+    AsymBlocks,
+    BlockMatrix,
+    asym_blocks_from_coo,
+    asym_blocks_to_dense,
+    blocks_from_coo,
+    blocks_from_dense,
+    blocks_to_coo,
+    blocks_to_dense,
+    block_sym_matvec,
+    genomewide_correction_blocks,
+    ice_balance_blocks,
+    pad_blocks,
+    sparse_ice_balance,
+)
+
+
+def _banded_sym(rng, n, band=40, lam=30.0):
+    """Sparse symmetric banded + sprinkled off-band counts."""
+    i = np.arange(n)
+    d = np.abs(np.subtract.outer(i, i))
+    M = rng.poisson(lam / (d + 1.0)) * (d < band)
+    # sprinkle far-field contacts so some off-band tiles are occupied
+    k = n * 4
+    r = rng.integers(0, n, k)
+    c = rng.integers(0, n, k)
+    M[r, c] += 1
+    M = np.triu(M)
+    M = (M + np.triu(M, 1).T).astype(np.float64)
+    return M
+
+
+def test_roundtrip_dense(rng):
+    n = 300
+    M = _banded_sym(rng, n)
+    bm = blocks_from_dense(M, T=64)
+    assert bm.R == 5 and bm.K < bm.R * (bm.R + 1) // 2 + 1
+    np.testing.assert_array_equal(blocks_to_dense(bm), M)
+
+
+def test_roundtrip_coo(rng):
+    n = 200
+    M = _banded_sym(rng, n)
+    iu = np.triu_indices(n)
+    v = M[iu]
+    nz = v != 0
+    bm = blocks_from_coo(iu[0][nz], iu[1][nz], v[nz], n, T=64)
+    np.testing.assert_array_equal(blocks_to_dense(bm), M)
+    r, c, vv = blocks_to_coo(bm)
+    D = np.zeros((n, n))
+    D[r, c] = vv
+    np.testing.assert_array_equal(D, np.triu(M))
+
+
+@pytest.mark.parametrize("reduce", ["onehot", "scatter"])
+def test_matvec_matches_dense(rng, reduce):
+    n = 317  # not a multiple of T
+    M = _banded_sym(rng, n)
+    bm = blocks_from_dense(M, T=64)
+    b = rng.uniform(0.5, 2.0, bm.R * bm.T)
+    b[n:] = 0.0
+    y = block_sym_matvec(jnp.asarray(bm.tiles), jnp.asarray(bm.brow),
+                         jnp.asarray(bm.bcol), jnp.asarray(b),
+                         R=bm.R, T=bm.T, reduce=reduce)
+    np.testing.assert_allclose(np.asarray(y)[:n], M @ b[:n], rtol=1e-12)
+
+
+def test_sparse_ice_matches_dense(rng):
+    n = 400
+    M = _banded_sym(rng, n, band=80)
+    bm = blocks_from_dense(M, T=128)
+    # dense oracle on the same padded size
+    P = bm.R * bm.T
+    Mp = np.zeros((P, P))
+    Mp[:n, :n] = M
+    w_d, st_d = ice_balance(jnp.asarray(Mp), jnp.asarray(n))
+    w_s, st_s = ice_balance_blocks(bm)
+    w_d = np.asarray(w_d)[:n]
+    w_s = np.asarray(w_s)
+    np.testing.assert_array_equal(np.isnan(w_d), np.isnan(w_s))
+    m = ~np.isnan(w_d)
+    np.testing.assert_allclose(w_s[m], w_d[m], rtol=1e-8)
+    assert int(st_s["iters"]) == int(st_d["iters"])
+
+
+def test_sparse_ice_padded_tiles_no_effect(rng):
+    n = 200
+    M = _banded_sym(rng, n)
+    bm = blocks_from_dense(M, T=64)
+    w1, _ = ice_balance_blocks(bm)
+    w2, _ = ice_balance_blocks(pad_blocks(bm, 8))
+    m = ~np.isnan(np.asarray(w1))
+    np.testing.assert_allclose(np.asarray(w2)[m], np.asarray(w1)[m],
+                               rtol=1e-12)
+
+
+def test_asym_roundtrip(rng):
+    n = 150
+    H = rng.poisson(2.0, (n, n)).astype(np.float64)
+    r, c = np.nonzero(H)
+    ab = asym_blocks_from_coo(r, c, H[r, c], n, T=64)
+    np.testing.assert_array_equal(asym_blocks_to_dense(ab), H)
+
+
+def test_sparse_genomewide_correction_matches_dense(rng):
+    n = 330
+    H = rng.poisson(1.5, (n, n)).astype(np.float64)
+    # make it band-heavy like a real imputed genome-wide matrix
+    i = np.arange(n)
+    d = np.abs(np.subtract.outer(i, i))
+    H = H * (d < 120) + rng.poisson(4.0, (n, n)) * (d < 20)
+    alpha = rng.uniform(0.3, 1.0, n)
+
+    r, c = np.nonzero(H)
+    ab = asym_blocks_from_coo(r, c, H[r, c], n, T=128, dtype=np.float64)
+    bm = genomewide_correction_blocks(ab, alpha)
+    got = blocks_to_dense(bm)
+
+    P = ab.R * ab.T
+    Hp = np.zeros((P, P))
+    Hp[:n, :n] = H
+    ap = np.ones(P)
+    ap[:n] = alpha
+    want = np.asarray(genomewide_correction(
+        jnp.asarray(Hp), jnp.asarray(ap), jnp.asarray(n)))[:n, :n]
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_sparse_ice_empty_and_tiny():
+    bm = blocks_from_coo(np.zeros(0), np.zeros(0), np.zeros(0), 64, T=64)
+    w, st = ice_balance_blocks(bm, max_iters=5)
+    assert np.isnan(np.asarray(w)).all()
+
+
+def test_storage_wins_at_scale(rng):
+    """The representability claim: banded occupancy keeps tile storage
+    linear in n while dense grows quadratically."""
+    n = 4096
+    i = np.arange(n)
+    d = np.abs(np.subtract.outer(i, i))
+    M = (rng.poisson(30.0 / (d + 1.0)) * (d < 64)).astype(np.float64)
+    M = np.triu(M)
+    M = M + np.triu(M, 1).T
+    bm = blocks_from_dense(M, T=128)
+    assert bm.nbytes() < 0.15 * bm.dense_nbytes()
