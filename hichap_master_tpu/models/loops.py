@@ -41,7 +41,7 @@ from ..ops.loops_kernel import (
     lowerleft_at_stable,
     row_prefix,
 )
-from ..ops.stats import bh_fdr, isotonic_fit, poisson_sf
+from ..ops.stats import isotonic_fit
 from ..utils.logging import get_logger
 from .compartment import _proper_unit
 
@@ -170,10 +170,46 @@ def _pack_expected(predictE, n, B: int, Xp: int, e_lo: int, x_pad: int,
     return jnp.where(ok, predictE[jnp.clip(e - ww, 0, B - ww - 1)], 0.0)
 
 
+def _allelic_prefilter(xi, yi, N: int, gap: Optional[np.ndarray],
+                       rows, cols, vals) -> np.ndarray:
+    """Vectorized allelic pixel pre-filter (StructureFind.py:1726-1757,
+    with the reference's left-cell-read-twice bug fixed — DIVERGENCES).
+
+    Drops a pixel when both bins sit in the gap set, or when any in-range
+    4-neighbor of (x, y) is zero/absent in the symmetric contact map.
+    Neighbor lookups run as one searchsorted over the encoded COO keys
+    instead of the reference's per-pixel dict probes.
+    """
+    gap_mask = np.zeros(N, bool)
+    if gap is not None and len(gap):
+        gap_mask[np.asarray(gap, int)] = True
+    both_gap = gap_mask[xi] & gap_mask[yi]
+
+    r64 = rows.astype(np.int64)
+    c64 = cols.astype(np.int64)
+    keys = np.concatenate([r64 * N + c64, c64 * N + r64])
+    kv = np.concatenate([vals, vals]).astype(np.float64)
+    order = np.argsort(keys, kind="stable")
+    skeys, svals = keys[order], kv[order]
+
+    def _nonzero_at(qx, qy, in_range):
+        q = qx.astype(np.int64) * N + qy.astype(np.int64)
+        pos = np.searchsorted(skeys, q)
+        posc = np.clip(pos, 0, max(skeys.size - 1, 0))
+        present = (skeys.size > 0) & (skeys[posc] == q)
+        hit = present & (svals[posc] != 0)
+        return np.where(in_range, hit, True)
+
+    ok = _nonzero_at(xi - 1, yi, xi - 1 >= 0)
+    ok &= _nonzero_at(xi + 1, yi, xi + 1 < N)
+    ok &= _nonzero_at(xi, yi + 1, yi + 1 < N)
+    ok &= _nonzero_at(xi, yi - 1, yi - 1 >= 0)
+    return ~both_gap & ok
+
+
 def _pcaller_prep(rows, cols, vals, weights, n: int, res: int, params,
                   allelic: bool = False,
-                  gap: Optional[np.ndarray] = None,
-                  neighbor_lookup=None) -> dict:
+                  gap: Optional[np.ndarray] = None) -> dict:
     """Host-side preparation shared by the single- and multi-chromosome
     pcaller paths: balance, expected curve, band/pixel padding."""
     from ..core.contacts import pad_to_bucket
@@ -235,20 +271,7 @@ def _pcaller_prep(rows, cols, vals, weights, n: int, res: int, params,
     gaps = set(np.flatnonzero(rs == 0).tolist())
 
     if allelic:
-        gap_set = set(gap.tolist()) if gap is not None else set()
-        keep = np.ones(xi.size, bool)
-        lut = neighbor_lookup or {}
-        for k in range(xi.size):
-            if xi[k] in gap_set and yi[k] in gap_set:
-                keep[k] = False
-                continue
-            xk, yk = int(xi[k]), int(yi[k])
-            left = lut.get((xk - 1, yk), 0) if xk - 1 >= 0 else 1
-            right = lut.get((xk + 1, yk), 0) if xk + 1 < N else 1
-            top = lut.get((xk, yk + 1), 0) if yk + 1 < N else 1
-            bottom = lut.get((xk, yk - 1), 0) if yk - 1 >= 0 else 1
-            if left * right * top * bottom == 0:
-                keep[k] = False
+        keep = _allelic_prefilter(xi, yi, N, gap, rows, cols, vals)
         xi, yi, o_val, em_val = xi[keep], yi[keep], o_val[keep], em_val[keep]
 
     log.log(21, "observed contact number: %d", xi.size)
@@ -312,7 +335,7 @@ def _escalation_fn(batched: bool):
 def pcaller_chrom_coo(rows, cols, vals, weights, n: int, res: int, params,
                       allelic: bool = False,
                       gap: Optional[np.ndarray] = None,
-                      neighbor_lookup=None, packed: bool = True):
+                      packed: bool = True):
     """HICCUPS backgrounds + Poisson/BH for one chromosome from COO pixels.
 
     rows/cols/vals : upper-triangle intra COO (local bins)
@@ -322,8 +345,7 @@ def pcaller_chrom_coo(rows, cols, vals, weights, n: int, res: int, params,
     plus per-pixel vectors.
     """
     pr = _pcaller_prep(rows, cols, vals, weights, n, res, params,
-                       allelic=allelic, gap=gap,
-                       neighbor_lookup=neighbor_lookup)
+                       allelic=allelic, gap=gap)
     ww, pw, maxww, num = pr["ww"], pr["pw"], pr["maxww"], pr["num"]
 
     if packed:
@@ -346,8 +368,7 @@ def pcaller_chrom_coo(rows, cols, vals, weights, n: int, res: int, params,
 
 
 def pcaller_multi(inputs: dict, res: int, params, allelic: bool = False,
-                  gaps: Optional[dict] = None,
-                  neighbor_lookups: Optional[dict] = None) -> dict:
+                  gaps: Optional[dict] = None) -> dict:
     """Multi-chromosome pcaller: one escalation dispatch per size bucket.
 
     inputs : {chrom: (rows, cols, vals, weights_or_None, n)}
@@ -358,12 +379,10 @@ def pcaller_multi(inputs: dict, res: int, params, allelic: bool = False,
     """
 
     gaps = gaps or {}
-    neighbor_lookups = neighbor_lookups or {}
     preps, groups = {}, {}
     for chro, (rows, cols, vals, wt, n) in inputs.items():
         pr = _pcaller_prep(rows, cols, vals, wt, n, res, params,
-                           allelic=allelic, gap=gaps.get(chro),
-                           neighbor_lookup=neighbor_lookups.get(chro))
+                           allelic=allelic, gap=gaps.get(chro))
         preps[chro] = pr
         groups.setdefault((pr["Xp"], pr["cap"], pr["P2"]), []).append(chro)
 
@@ -390,6 +409,44 @@ def pcaller_multi(inputs: dict, res: int, params, allelic: bool = False,
                 preps[chro], resolved[i], bsk[i], bek[i], bsy[i], bey[i],
                 res)
     return results
+
+
+def _poisson_bh(o: np.ndarray, e: np.ndarray):
+    """λ-chunked Poisson + BH for one flavor's surviving pixels.
+
+    Host float64 vectorized path by default (exact vs the reference);
+    the jitted on-device program (ops/stats_jax.py) takes over on
+    accelerator backends for large pixel counts unless HICHAP_HOST_STATS=1
+    — device math is f32, which can flip razor-edge q ≈ sig pixels."""
+    from ..ops.stats import poisson_bh_chunked
+
+    use_device = (jax.default_backend() != "cpu"
+                  and o.size >= 262_144
+                  and os.environ.get("HICHAP_HOST_STATS") != "1")
+    if use_device:
+        from ..ops.stats_jax import poisson_bh_chunked_jax
+        pv, qv = poisson_bh_chunked_jax(
+            jnp.asarray(o, jnp.float32), jnp.asarray(e, jnp.float32),
+            jnp.ones(o.size, bool))
+        return np.asarray(pv, np.float64), np.asarray(qv, np.float64)
+    return poisson_bh_chunked(o, e)
+
+
+def _gap_neighborhood_keep(pxi, pyi, N: int, gaps: set) -> np.ndarray:
+    """±5-bin gap-neighborhood peak removal (StructureFind.py:1904-1927),
+    as two prefix-sum range queries instead of per-pixel Python sets.
+    Preserves the reference's exact (asymmetric) window bounds:
+    [x-5, x+5) clipped to [0, N-1)."""
+    g = np.zeros(N, np.int64)
+    g[np.fromiter(gaps, int, len(gaps))] = 1
+    cs = np.concatenate([[0], np.cumsum(g)])
+
+    def has_gap(p):
+        lo = np.where(p > 5, p - 5, 0)
+        hi = np.where(p + 5 < N, p + 5, N - 1)
+        return (cs[hi] - cs[lo]) > 0
+
+    return ~(has_gap(pxi) | has_gap(pyi))
 
 
 def _pcaller_post(pr: dict, resolved, bsk, bek, bsy, bey, res: int):
@@ -423,29 +480,12 @@ def _pcaller_post(pr: dict, resolved, bsk, bek, bsy, bey, res: int):
         pxi, pyi, e = pxi[good], pyi[good], e[good]
         o = o_val[nz][good]
         fold = o / e
-        pv = np.ones(e.size)
-        qv = np.ones(e.size)
-        for lv, rv, idx in lambda_chunks(e):
-            if idx.size > 0:
-                # reference: 1 - poisson(rv).cdf(O)  == P(X > O)
-                chunk_p = poisson_sf(o[idx], rv)
-                pv[idx] = chunk_p
-                qv[idx] = bh_fdr(chunk_p)
+        pv, qv = _poisson_bh(o, e)
         rej = qv <= sig
         pxi, pyi = pxi[rej], pyi[rej]
         o, e, fold, pv, qv = o[rej], e[rej], fold[rej], pv[rej], qv[rej]
         if gaps:
-            keep = []
-            for k in range(pxi.size):
-                lo = pxi[k] - 5 if pxi[k] > 5 else 0
-                hi = pxi[k] + 5 if pxi[k] + 5 < N else N - 1
-                c1 = set(range(lo, hi))
-                lo = pyi[k] - 5 if pyi[k] > 5 else 0
-                hi = pyi[k] + 5 if pyi[k] + 5 < N else N - 1
-                c2 = set(range(lo, hi))
-                if not (c1 | c2) & gaps:
-                    keep.append(k)
-            keep = np.asarray(keep, int)
+            keep = _gap_neighborhood_keep(pxi, pyi, N, gaps)
             pxi, pyi = pxi[keep], pyi[keep]
             o, e, fold, pv, qv = (o[keep], e[keep], fold[keep], pv[keep],
                                   qv[keep])
@@ -484,7 +524,7 @@ def call_peaks(cooler_path: str, res: int, allelic, outfil: str,
     head = "\t".join(["chromLabel", "loc_1", "loc_2", "IF", "D-Enrichment",
                       "D-pvalue", "D-qvalue", "LL-Enrichment", "LL-pvalue",
                       "LL-qvalue"]) + "\n"
-    inputs, gap_by, lut_by = {}, {}, {}
+    inputs, gap_by = {}, {}
     for chro in chroms:
         rows, cols, vals = reader.fetch_coo(chro)
         ci = reader.chromnames.index(chro)
@@ -497,17 +537,12 @@ def call_peaks(cooler_path: str, res: int, allelic, outfil: str,
         else:
             wt = None
             gap_by[chro] = np.asarray(gap_lib[chro])
-            lut = {}
-            for r_, c_, v_ in zip(rows, cols, vals):
-                lut[(int(r_), int(c_))] = v_
-                lut[(int(c_), int(r_))] = v_
-            lut_by[chro] = lut
         inputs[chro] = (rows, cols, vals, wt, n)
 
     from ..utils.profiling import stage as _stage
     with _stage("loops.pcaller"):
         results = pcaller_multi(inputs, res, params, allelic=bool(allelic),
-                                gaps=gap_by, neighbor_lookups=lut_by)
+                                gaps=gap_by)
 
     with open(outfil, "w") as f:
         f.write(head)
@@ -532,6 +567,7 @@ def loop_selecting(matrices, res: int, input_fil: str, output_fil: str,
 
     if strict_parity:
         res = 40_000
+    sorted_diag = {}  # (chrom, distance) → sorted diagonal, shared by lines
     with open(input_fil) as f, open(output_fil, "w") as o:
         header = f.readline()
         o.write(header)
@@ -542,7 +578,10 @@ def loop_selecting(matrices, res: int, input_fil: str, output_fil: str,
             b2 = int(l[2]) // res
             M = matrices[chro]
             IF = M[b1, b2]
-            dist = np.sort(np.diagonal(M, b2 - b1).copy())
+            key = (chro, b2 - b1)
+            if key not in sorted_diag:
+                sorted_diag[key] = np.sort(np.diagonal(M, b2 - b1).copy())
+            dist = sorted_diag[key]
             ratio = bisect.bisect_left(dist, IF) / len(dist)
             if ratio < loop_ratio or IF < loop_strength:
                 continue

@@ -45,6 +45,59 @@ def poisson_cdf(k: np.ndarray, mu: np.ndarray) -> np.ndarray:
     return gammaincc(k + 1.0, np.asarray(mu, dtype=float))
 
 
+def lambda_chunk_edges(numbin: int) -> np.ndarray:
+    """λ-chunk boundaries (StructureFind.py:1619-1632): chunk 0 covers
+    (0, 1) and chunk c ≥ 1 covers (2^((c-1)/3), 2^(c/3)), both open."""
+    return np.concatenate([[0.0],
+                           np.power(2.0, np.arange(numbin) / 3.0)])
+
+
+def poisson_bh_chunked(o: np.ndarray, e: np.ndarray):
+    """λ-chunked Poisson upper-tail p-values + per-chunk BH, vectorized.
+
+    Single-pass replacement for the reference's per-chunk loop
+    (StructureFind.py:1869-1902): each pixel's chunk is found by digitize
+    against the 2^(k/3) edge grid, the Poisson survival P(X > o) is taken
+    at the chunk's UPPER edge (the reference's ``1 - poisson(rv).cdf(O)``),
+    and BH runs per chunk via one global (chunk, p) lexsort with a
+    segmented reverse running-min.  Pixels on a chunk edge or with e ≤ 0
+    belong to no chunk and keep pv = qv = 1, exactly like the reference's
+    strict ``(E > lv) & (E < rv)`` masks.
+    """
+    o = np.asarray(o, float)
+    e = np.asarray(e, float)
+    pv = np.ones(e.size)
+    qv = np.ones(e.size)
+    if e.size == 0 or e.max() <= 0:
+        return pv, qv
+    numbin = int(np.ceil(np.log(e.max()) / np.log(2) * 3 + 1))
+    edges = lambda_chunk_edges(numbin)          # len numbin + 1
+    c = np.digitize(e, edges) - 1               # in [-1, numbin]
+    ok = (c >= 0) & (c < numbin)
+    ok &= e != edges[np.clip(c, 0, numbin)]     # open lower bound
+    if not ok.any():
+        return pv, qv
+    rv = edges[np.clip(c, 0, numbin - 1) + 1]
+    p_ok = poisson_sf(o[ok], rv[ok])
+    pv[ok] = p_ok
+
+    cidx = c[ok]
+    order = np.lexsort((p_ok, cidx))
+    ps, cs = p_ok[order], cidx[order]
+    seg_start = np.flatnonzero(
+        np.concatenate([[True], cs[1:] != cs[:-1]]))
+    seg_end = np.concatenate([seg_start[1:], [cs.size]])
+    q_sorted = np.empty_like(ps)
+    for s, t in zip(seg_start, seg_end):
+        m = t - s
+        r = ps[s:t] * m / np.arange(1, m + 1)
+        q_sorted[s:t] = np.clip(np.minimum.accumulate(r[::-1])[::-1], 0, 1)
+    q_ok = np.empty_like(ps)
+    q_ok[order] = q_sorted
+    qv[ok] = q_ok
+    return pv, qv
+
+
 def _pava(y: np.ndarray, w: np.ndarray) -> np.ndarray:
     """Pool-adjacent-violators for a nondecreasing fit."""
     n = len(y)

@@ -36,37 +36,13 @@ MAX_DIFF_SCORE = 18  # filtering.py:447
 
 
 # --------------------------------------------------------- HiC filtering
-def hic_filtering(bed_dir: str, out_dir: str, allelic: str = "NonAllelic",
-                  clean: bool = True) -> Dict[str, int]:
-    """Duplicate removal + SC/DE/UM/ED classification → ``*_Valid.bed``."""
-    os.makedirs(out_dir, exist_ok=True)
-    if allelic != "NonAllelic":
-        files = [f for f in sorted(os.listdir(bed_dir))
-                 if allelic in f and "chunk" in f and f.endswith(".bed")]
-    else:
-        files = [f for f in sorted(os.listdir(bed_dir))
-                 if "chunk" in f and f.endswith(".bed")]
-    if not files:
-        raise FileNotFoundError(f"no chunk beds under {bed_dir}")
-    prefix = files[0].split("chunk")[0]
-
-    lines: List[str] = []
-    for f in files:
-        with open(os.path.join(bed_dir, f)) as fh:
-            lines.extend(fh)
-    stats = dict(Total=0, Duplicates=0, Valid=0, SelfCircle=0,
-                 DanglingEnds=0, UnknownMechanism=0, ExtraDanglingEnds=0)
-    if allelic != "NonAllelic":
-        out_bed = os.path.join(out_dir, f"{prefix}{allelic}_Valid.bed")
-    else:
-        out_bed = os.path.join(out_dir, f"{prefix}Valid.bed")
-
-    if not lines:
-        open(out_bed, "w").close()
-        return stats
-
-    # Key columns only; rows are ragged (15 or 23 columns).
-    keys = [ln.split("\t", 14) for ln in lines]
+def _classify_block(lines: List[str], prev_key, stats: Dict[str, int],
+                    out) -> tuple:
+    """Vectorized dedup + SC/DE/UM/ED classification of one sorted block
+    (filtering.py:273-354 semantics).  ``prev_key`` is the 6-field key of
+    the previous block's last record (dedup across block boundaries);
+    returns this block's last key."""
+    keys = [ln.split("\t", 14) for ln in lines]  # ragged 15/23-col rows
     c1 = np.array([k[1] for k in keys])
     s1 = np.array([int(k[2]) for k in keys])
     p1 = np.array([int(k[3]) for k in keys])
@@ -76,20 +52,18 @@ def hic_filtering(bed_dir: str, out_dir: str, allelic: str = "NonAllelic",
     f1 = np.array([int(k[6]) for k in keys])
     f2 = np.array([int(k[13]) for k in keys])
 
-    order = np.lexsort((p2, s2, c2, p1, s1, c1))
-    c1, s1, p1, c2, s2, p2, f1, f2 = (a[order] for a in
-                                      (c1, s1, p1, c2, s2, p2, f1, f2))
-    lines = [lines[i] for i in order]
-
     n = len(lines)
-    stats["Total"] = n
+    stats["Total"] += n
     first = np.ones(n, bool)
     if n > 1:
         same = ((c1[1:] == c1[:-1]) & (s1[1:] == s1[:-1]) & (p1[1:] == p1[:-1])
                 & (c2[1:] == c2[:-1]) & (s2[1:] == s2[:-1])
                 & (p2[1:] == p2[:-1]))
         first[1:] = ~same
-    stats["Duplicates"] = int((~first).sum())
+    if prev_key is not None:
+        first[0] = (str(c1[0]), int(s1[0]), int(p1[0]),
+                    str(c2[0]), int(s2[0]), int(p2[0])) != prev_key
+    stats["Duplicates"] += int((~first).sum())
 
     same_chrom = c1 == c2
     same_frag = same_chrom & (f1 == f2)
@@ -103,15 +77,76 @@ def hic_filtering(bed_dir: str, out_dir: str, allelic: str = "NonAllelic",
     ed = (same_chrom & ~same_frag & (np.abs(p1 - p2) <= 500)
           & ((lt & fwd_rev) | (~lt & rev_fwd)))
 
-    stats["SelfCircle"] = int((sc & first).sum())
-    stats["DanglingEnds"] = int((de & first).sum())
-    stats["UnknownMechanism"] = int((um & first).sum())
-    stats["ExtraDanglingEnds"] = int((ed & first).sum())
+    stats["SelfCircle"] += int((sc & first).sum())
+    stats["DanglingEnds"] += int((de & first).sum())
+    stats["UnknownMechanism"] += int((um & first).sum())
+    stats["ExtraDanglingEnds"] += int((ed & first).sum())
     valid = first & ~sc & ~de & ~um & ~ed
-    stats["Valid"] = int(valid.sum())
+    stats["Valid"] += int(valid.sum())
+    out.writelines(ln for ln, v in zip(lines, valid) if v)
+    return (str(c1[-1]), int(s1[-1]), int(p1[-1]),
+            str(c2[-1]), int(s2[-1]), int(p2[-1]))
 
-    with open(out_bed, "w") as out:
-        out.writelines(ln for ln, v in zip(lines, valid) if v)
+
+def hic_filtering(bed_dir: str, out_dir: str, allelic: str = "NonAllelic",
+                  clean: bool = True,
+                  block_lines: Optional[int] = None) -> Dict[str, int]:
+    """Duplicate removal + SC/DE/UM/ED classification → ``*_Valid.bed``.
+
+    Bounded-memory streaming: each chunk bed is externally sorted by the
+    (chr1, strand1, pos1, chr2, strand2, pos2) key (native hicio sort,
+    which spills to disk past its threshold), the sorted runs are k-way
+    merged, and classification streams the merged order in blocks of
+    ``block_lines`` records with the dedup key carried across block
+    boundaries — the reference's external-sort design
+    (filtering.py:77-121, 223-267) without its per-line Python loop.
+    """
+    from ..io.native import merge_sorted, sort_file
+
+    block_lines = block_lines or int(
+        os.environ.get("HICHAP_FILTER_BLOCK", 1_000_000))
+    os.makedirs(out_dir, exist_ok=True)
+    if allelic != "NonAllelic":
+        files = [f for f in sorted(os.listdir(bed_dir))
+                 if allelic in f and "chunk" in f and f.endswith(".bed")]
+    else:
+        files = [f for f in sorted(os.listdir(bed_dir))
+                 if "chunk" in f and f.endswith(".bed")]
+    if not files:
+        raise FileNotFoundError(f"no chunk beds under {bed_dir}")
+    prefix = files[0].split("chunk")[0]
+
+    stats = dict(Total=0, Duplicates=0, Valid=0, SelfCircle=0,
+                 DanglingEnds=0, UnknownMechanism=0, ExtraDanglingEnds=0)
+    if allelic != "NonAllelic":
+        out_bed = os.path.join(out_dir, f"{prefix}{allelic}_Valid.bed")
+    else:
+        out_bed = os.path.join(out_dir, f"{prefix}Valid.bed")
+
+    sorted_paths = []
+    for f in files:
+        dst = os.path.join(out_dir, f + ".ksorted")
+        sort_file(os.path.join(bed_dir, f), dst, "hic_key")
+        sorted_paths.append(dst)
+    merged = os.path.join(out_dir, f"{prefix}{allelic}.ksorted.merged")
+    if len(sorted_paths) == 1:
+        os.replace(sorted_paths[0], merged)
+    else:
+        merge_sorted(sorted_paths, merged, "hic_key")
+        for p in sorted_paths:
+            os.remove(p)
+
+    import itertools
+
+    prev_key = None
+    with open(merged) as src, open(out_bed, "w") as out:
+        while True:
+            lines = list(itertools.islice(src, block_lines))
+            if not lines:
+                break
+            prev_key = _classify_block(lines, prev_key, stats, out)
+    os.remove(merged)
+
     log.log(21, "HiC filtering (%s): %s", allelic, stats)
     if clean:
         for f in files:

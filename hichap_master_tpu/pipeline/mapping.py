@@ -184,10 +184,12 @@ class Bowtie2Aligner:
         cmd = [self.bowtie2, "-x", index, "-p", str(self.threads), "-U", fq,
                "-S", tmp]
         subprocess.run(cmd, check=True, capture_output=True)
-        # name-sort (samtools sort -n parity)
-        from ..io.sam import read_sam
-        records = sorted(read_sam(tmp), key=lambda r: r.query_name)
-        write_sam(out_sam, records)
+        # name-sort (samtools sort -n parity, HiCHap/mapping.py:74-76) via
+        # the native external-memory sort: constant host memory even for
+        # multi-million-read chunks (headers are dropped; every SAM
+        # consumer in io/sam.py skips them anyway)
+        from ..io.native import sam_sort_merge
+        sam_sort_merge([tmp], out_sam)
         os.remove(tmp)
         return out_sam
 
