@@ -100,14 +100,25 @@ def write_sam(path: str, records: List[AlnRecord],
                 "*", "0", "0", r.seq, r.qual] + tags) + "\n")
 
 
+def read_alignments(path: str) -> Iterator[AlnRecord]:
+    """SAM/BAM-agnostic alignment reader: BGZF BAM inputs (the reference's
+    interchange format, bamProcess.py:735-768) parse through io/bam.py,
+    everything else as SAM text."""
+    if str(path).endswith(".bam"):
+        from .bam import read_bam
+        return read_bam(path)
+    return read_sam(path)
+
+
 _NATIVE_MERGE_MIN_BYTES = 32 << 20
 
 
 def read_sam_sorted_by_name(paths: List[str]) -> List[AlnRecord]:
-    """Merge several SAM files and name-sort (``samtools merge -n`` +
+    """Merge several SAM/BAM files and name-sort (``samtools merge -n`` +
     sort parity for the group-by-name consumer).  Large inputs route
     through the native external-memory merge (native/hicio.cpp) so the
-    Python string layer only sees the already-ordered stream."""
+    Python string layer only sees the already-ordered stream; BAM members
+    stream-convert to SAM text first (the native merge is line-based)."""
     import os
     import tempfile
 
@@ -116,18 +127,31 @@ def read_sam_sorted_by_name(paths: List[str]) -> List[AlnRecord]:
         from .native import get_lib, sam_sort_merge
 
         if get_lib() is not None:
+            tmpdir = os.path.dirname(os.path.abspath(paths[0]))
+            converted = []
+            text_paths = []
+            for p in paths:
+                if str(p).endswith(".bam"):
+                    from .bam import bam_to_sam
+                    t = p + ".as_sam"
+                    bam_to_sam(p, t)
+                    converted.append(t)
+                    text_paths.append(t)
+                else:
+                    text_paths.append(p)
             with tempfile.NamedTemporaryFile(
-                    "w", suffix=".sam", delete=False,
-                    dir=os.path.dirname(os.path.abspath(paths[0]))) as tf:
+                    "w", suffix=".sam", delete=False, dir=tmpdir) as tf:
                 merged = tf.name
             try:
-                sam_sort_merge(paths, merged)
+                sam_sort_merge(text_paths, merged)
                 return list(read_sam(merged))
             finally:
                 os.unlink(merged)
+                for t in converted:
+                    os.unlink(t)
 
     records: List[AlnRecord] = []
     for p in paths:
-        records.extend(read_sam(p))
+        records.extend(read_alignments(p))
     records.sort(key=lambda r: r.query_name)
     return records

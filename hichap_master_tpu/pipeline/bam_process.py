@@ -29,7 +29,8 @@ from .pairs import MULTI, UNMAPPED, PairResolver, iter_groups, load_fragments
 log = get_logger(__name__)
 
 
-def get_chunks(path: str, suffixes=(".sam", ".sam.gz")) -> Tuple[List[str], int, str]:
+def get_chunks(path: str,
+               suffixes=(".sam", ".sam.gz", ".bam")) -> Tuple[List[str], int, str]:
     """Chunk-file discovery (mapping.py:14-36)."""
     reg = re.compile(r"(?<=_chunk)\d+")
     chunks, num = [], -1

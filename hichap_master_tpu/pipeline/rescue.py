@@ -19,7 +19,7 @@ import os
 import re
 from typing import Iterable, List, Optional, Tuple
 
-from ..io.sam import AlnRecord, read_sam
+from ..io.sam import AlnRecord, read_alignments
 from ..utils.logging import get_logger
 from .enzyme import enzyme_handle, junction_info
 
@@ -57,7 +57,7 @@ def rescue_sam(aln_path: str, out_fastq: str,
     FASTQ.  Returns the number of reads written."""
     n = 0
     with open(out_fastq, "w") as out:
-        for rec in read_sam(aln_path):
+        for rec in read_alignments(aln_path):
             if rec.is_unmapped:
                 txt = split_read(rec.query_name, rec.seq, rec.qual, junc)
                 if txt:
@@ -69,7 +69,7 @@ def rescue_sam(aln_path: str, out_fastq: str,
 def cutting_reads_to_remapping(aln_dir: str, out_dir: str, enzyme: str,
                                allel_mark: str = "NonAllelic",
                                threads: int = 1,
-                               suffixes: Tuple[str, ...] = (".sam", ".sam.gz"),
+                               suffixes: Tuple[str, ...] = (".sam", ".sam.gz", ".bam"),
                                ) -> List[str]:
     """Rescue every chunk alignment under ``aln_dir``
     (fastqPlus.py:156-234); returns the written FASTQ paths."""
