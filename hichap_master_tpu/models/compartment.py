@@ -87,6 +87,27 @@ def select_pc_new(cor: np.ndarray, oe_ng: np.ndarray,
     return select_ab(oe_ng, pcs[best].copy())
 
 
+def select_pc_legacy(cor: np.ndarray, pcs: np.ndarray) -> np.ndarray:
+    """Legacy unsupervised selector (StructureFind.py:345-372): pick the PC
+    maximizing Σ|corr(pc, cor-row)|, signed by the un-absed sum.  The
+    per-row np.corrcoef loop is evaluated as one centered matvec."""
+    select_k, best, direction = 0, 0.0, 1
+    for i in range(len(pcs)):
+        pc_c = pcs[i] - pcs[i].mean()
+        rows_c = cor - cor.mean(axis=1, keepdims=True)
+        num = rows_c @ pc_c
+        den = np.sqrt((rows_c ** 2).sum(axis=1) * (pc_c ** 2).sum())
+        with np.errstate(divide="ignore", invalid="ignore"):
+            coef = num / den
+        coef[np.isnan(coef)] = 0
+        coef[np.isinf(coef)] = 1  # reference's inf guard
+        if np.abs(coef).sum() > best:
+            best = np.abs(coef).sum()
+            select_k = i
+            direction = -1 if coef.sum() < 0 else 1
+    return pcs[select_k] * direction
+
+
 def select_allelic_pc(pcs_full: np.ndarray, traditional_pc: np.ndarray,
                       eps: float = 0.7) -> np.ndarray:
     """Supervised pick by |corr| with the traditional PC (StructureFind.py:446)."""
@@ -294,12 +315,18 @@ def run_compartment(cooler_path: str, res: int, allelic,
                     traditional_pc_file: Optional[str] = None,
                     pca_method: str = "subspace",
                     plot: bool = False, ms: str = "IF",
-                    batched: bool = True) -> Dict[str, np.ndarray]:
+                    batched: bool = True,
+                    selector: str = "new") -> Dict[str, np.ndarray]:
     """Full compartment run; writes ``<prefix>_Compartment_<res>.txt``.
 
     ``allelic`` is False / 'Maternal' / 'Paternal' (reference API).
+    ``selector``: 'new' (Select_PC_new, the reference default) or 'legacy'
+    (Select_PC, StructureFind.py:345-372) for traditional mode.
     Returns {chrom: full-length signed PC track}.
     """
+    if selector not in ("new", "legacy"):
+        raise ValueError(f"unknown selector {selector!r}")
+    use_legacy = selector == "legacy" and not allelic
     reader = CoolerReader(cooler_path, res)
     if allelic is False or allelic is None:
         chroms = reader.chromnames
@@ -319,7 +346,7 @@ def run_compartment(cooler_path: str, res: int, allelic,
 
     tracks: Dict[str, np.ndarray] = {}
     extras = {}
-    want_mats = plot and ms in ("OE", "Cor")
+    want_mats = (plot and ms in ("OE", "Cor")) or use_legacy
     pre = (_compartment_batched(reader, chroms, res, sliding, pca_method)
            if batched and not want_mats else None)
     for chro in chroms:
@@ -331,7 +358,9 @@ def run_compartment(cooler_path: str, res: int, allelic,
                                                 want_matrices=want_mats)
         n = r["n"]
         full = np.zeros(n)
-        if not allelic:
+        if use_legacy:
+            full[r["nongap"]] = select_pc_legacy(r["cor"], r["pcs"])
+        elif not allelic:
             full[r["nongap"]] = r["pc_signed"]
         else:
             pcs_full = np.zeros((len(r["pcs"]), n))

@@ -31,11 +31,13 @@ class StructureFind:
 
     def run_Compartment(self, OutPath: str, plot: bool = True, MS: str = "IF",
                         SA: bool = False, Tranditional_PC_file=None,
-                        pca_method: str = "subspace"):
+                        pca_method: str = "subspace", selector: str = "new"):
+        # selector='legacy' reproduces the reference's Select_PC
+        # (StructureFind.py:345-372) instead of Select_PC_new.
         return run_compartment(
             self.cooler_fil, self.Res, self.Allelic, OutPath, sliding=SA,
             traditional_pc_file=Tranditional_PC_file, plot=plot,
-            pca_method=pca_method, ms=MS)
+            pca_method=pca_method, ms=MS, selector=selector)
 
     def run_TADs(self, OutPath: str, **kwargs):
         return run_tads(
