@@ -172,6 +172,19 @@ def main():
         out["extras"] = sparse_genomewide_extras()
     except Exception as e:  # never lose the primary metric to an extra
         out["extras"] = {"error": repr(e)[:200]}
+    # full-suite seconds at real hg19 sizes, recorded by scripts/perf_hg19.py
+    # (a several-minute measured run — not re-run inside the bench)
+    rec = os.path.join(_REPO, ".perf_hg19.json")
+    if os.path.exists(rec):
+        try:
+            with open(rec) as f:
+                rj = json.load(f)
+            if rj.get("scale_divisor") == 1:
+                out.setdefault("extras", {})["hg19_fullsuite_warm_s"] = \
+                    rj.get("total_s")
+                out["extras"]["hg19_fullsuite"] = "recorded"
+        except Exception:
+            pass
     print(json.dumps(out))
 
 

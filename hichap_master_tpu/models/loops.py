@@ -244,10 +244,13 @@ def _pcaller_prep(rows, cols, vals, weights, n: int, res: int, params,
     predictE = np.clip(ir.predict(x), 0, None).astype(np.float32)
 
     # upload only band pixels (TPU scatter cost is per update); pad nnz to a
-    # power of two for compiled-graph reuse across chromosomes
+    # power of two for compiled-graph reuse across chromosomes.
+    # HICHAP_LOOP_NNZ_FLOOR lifts the floor so many chromosomes share one
+    # compiled shape (each distinct shape is a fresh XLA compile).
     band = (d_all >= 0) & (d_all < num)
     bn = int(band.sum())
     cap = 1 << max(bn - 1, 1).bit_length()
+    cap = max(cap, int(os.environ.get("HICHAP_LOOP_NNZ_FLOOR", "1")))
     br = np.zeros(cap, np.int32)
     bc = np.zeros(cap, np.int32)
     bv = np.zeros(cap, np.float32)
@@ -279,6 +282,7 @@ def _pcaller_prep(rows, cols, vals, weights, n: int, res: int, params,
     # pad pixel arrays to a power of two so compiled graphs are reused
     # across chromosomes
     P2 = 1 << max(npix - 1, 1).bit_length()
+    P2 = max(P2, int(os.environ.get("HICHAP_LOOP_NNZ_FLOOR", "1")))
     xpad = np.zeros(P2, xi.dtype)
     ypad = np.zeros(P2, yi.dtype)
     vpad = np.zeros(P2, bool)
@@ -290,7 +294,8 @@ def _pcaller_prep(rows, cols, vals, weights, n: int, res: int, params,
 
     from ..ops.loops_packed import pack_margins
     e_lo, _e_hi, x_pad = pack_margins(maxww)
-    Xp = pad_to_bucket(n + 2 * x_pad, 512)
+    Xp = pad_to_bucket(n + 2 * x_pad,
+                       int(os.environ.get("HICHAP_LOOP_XP_BUCKET", "512")))
 
     return dict(n=n, N=N, P=P, num=num, ww=ww, pw=pw, maxww=maxww, sig=sig,
                 predictE=predictE, br=br, bc=bc, bv=bv, bb=bb, cap=cap,
