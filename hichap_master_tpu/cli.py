@@ -149,6 +149,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--traditional-pc", default=None)
     p.add_argument("--sliding", action="store_true", default=False)
     p.add_argument("--plot", action="store_true", default=False)
+    # 'legacy' = the reference's Select_PC (StructureFind.py:345-372)
+    p.add_argument("--pc-selector", default="new", choices=["new", "legacy"])
 
     p = sub.add_parser("tads", parents=[common])
     p.add_argument("-c", "--cooler", required=True)
@@ -337,7 +339,7 @@ def run(argv=None) -> int:
         run_compartment(args.cooler, args.resolution, allelic, args.out,
                         sliding=args.sliding,
                         traditional_pc_file=args.traditional_pc,
-                        plot=args.plot)
+                        plot=args.plot, selector=args.pc_selector)
 
     elif args.command == "tads":
         from .models.tads import run_tads
