@@ -430,10 +430,20 @@ def _poisson_bh(o: np.ndarray, e: np.ndarray):
                   and os.environ.get("HICHAP_HOST_STATS") != "1")
     if use_device:
         from ..ops.stats_jax import poisson_bh_chunked_jax
+
+        # pad to the next power of two so the jitted program is shared
+        # across chromosomes/flavors instead of compiling per pixel count
+        P2 = 1 << max(o.size - 1, 1).bit_length()
+        op = np.zeros(P2, np.float32)
+        ep = np.zeros(P2, np.float32)
+        vp = np.zeros(P2, bool)
+        op[: o.size] = o
+        ep[: e.size] = e
+        vp[: o.size] = True
         pv, qv = poisson_bh_chunked_jax(
-            jnp.asarray(o, jnp.float32), jnp.asarray(e, jnp.float32),
-            jnp.ones(o.size, bool))
-        return np.asarray(pv, np.float64), np.asarray(qv, np.float64)
+            jnp.asarray(op), jnp.asarray(ep), jnp.asarray(vp))
+        return (np.asarray(pv, np.float64)[: o.size],
+                np.asarray(qv, np.float64)[: o.size])
     return poisson_bh_chunked(o, e)
 
 
