@@ -128,6 +128,38 @@ class CoolerWriter:
                     inter[(c1, c2)] = blk
         return self.pixels_from_dense(intra, inter)
 
+    def pixels_from_genomewide_coo(self, rows: np.ndarray, cols: np.ndarray,
+                                   vals: np.ndarray):
+        """Pixels from upper-triangle genome-wide COO in *matrix* bin
+        convention — the block-sparse exit path that never materializes the
+        dense matrix.  Converts matrix bin ids to cooler bin ids (dropping
+        the empty trailing bin of chromosomes whose length is an exact
+        multiple of the resolution)."""
+        labels = self.genome.labels
+        offs_m = self.genome.bin_offsets(self.res)
+        starts_m = np.asarray([offs_m[c][0] for c in labels], np.int64)
+        ends_m = np.asarray([offs_m[c][1] for c in labels], np.int64)
+        nb_c = np.asarray(
+            [self.genome.cooler_n_bins(c, self.res) for c in labels],
+            np.int64)
+        offs_c = self._chrom_offsets()
+
+        def convert(g):
+            ci = np.searchsorted(ends_m, g, side="left")
+            local = g - starts_m[ci]
+            ok = local < nb_c[ci]
+            return offs_c[ci] + local, ok
+
+        rows = np.asarray(rows, np.int64)
+        cols = np.asarray(cols, np.int64)
+        b1, ok1 = convert(rows)
+        b2, ok2 = convert(cols)
+        keep = ok1 & ok2 & (np.asarray(vals) != 0)
+        b1, b2 = b1[keep], b2[keep]
+        v = np.asarray(vals)[keep].astype(self.count_dtype)
+        order = np.lexsort((b2, b1))
+        return b1[order], b2[order], v[order]
+
     # --------------------------------------------------------------- write
     def write(self, path_or_uri: str, b1: np.ndarray, b2: np.ndarray,
               v: np.ndarray, weights: np.ndarray | None = None,
@@ -198,12 +230,17 @@ def write_cooler(path: str, genome: Genome, res: int,
                  matrices: Mapping[str, np.ndarray],
                  inter: Mapping[Tuple[str, str], np.ndarray] | None = None,
                  genomewide: np.ndarray | None = None,
+                 genomewide_coo: Tuple[np.ndarray, np.ndarray, np.ndarray]
+                 | None = None,
                  weights: np.ndarray | None = None,
                  dtype: str = "int", metadata: dict | None = None) -> str:
     """Write ``path::res``.  Either per-chrom ``matrices`` (+optional inter
-    blocks) or one dense ``genomewide`` matrix."""
+    blocks), one dense ``genomewide`` matrix, or upper-triangle
+    ``genomewide_coo`` (rows, cols, vals) in matrix bin convention."""
     w = CoolerWriter(genome, res, dtype)
-    if genomewide is not None:
+    if genomewide_coo is not None:
+        b1, b2, v = w.pixels_from_genomewide_coo(*genomewide_coo)
+    elif genomewide is not None:
         b1, b2, v = w.pixels_from_genomewide(np.asarray(genomewide))
     else:
         b1, b2, v = w.pixels_from_dense(matrices, inter)
@@ -247,6 +284,15 @@ class CoolerReader:
         ci = self.chromnames.index(label)
         s, e = self.chrom_offset[ci], self.chrom_offset[ci + 1]
         return w[s:e]
+
+    def pixels_coo(self):
+        """The whole pixel table as (bin1, bin2, count) in cooler bin ids —
+        the block-sparse entry path (genome-wide matrices too large to
+        densify)."""
+        with h5py.File(self.path, "r") as f:
+            g = f[self.grp]
+            return (g["pixels/bin1_id"][:], g["pixels/bin2_id"][:],
+                    g["pixels/count"][:])
 
     def _row_slice(self, g, s, e):
         """Pixel index range covering bin1 in [s, e) via the bin1_offset

@@ -59,6 +59,73 @@ log = get_logger(__name__)
 
 CHUNK = 1 << 19
 
+# Above this genome-wide bin count the dense [S, S] form stops being
+# reasonable (at 65,536 bins it is already 16 GB f32 — one full chip) and
+# the pipeline switches to the block-sparse layout (ops/sparse.py).  This
+# is what makes true genome-wide 10 kb matrices (hg19 ≈ 304k bins, ~343 GB
+# dense) constructible: memory is O(nnz), the size of the output cooler.
+DENSE_GW_MAX_BINS = int(os.environ.get("HICHAP_DENSE_GW_MAX_BINS", "65536"))
+
+
+class SparseGW:
+    """Genome-wide contact accumulator in upper-triangle COO key space.
+
+    Pending binned pairs compact periodically through np.unique, so host
+    memory stays O(unique pixels) — the same order as the cooler this will
+    be written to.  Matches ``bin_genomewide`` semantics (symmetric count;
+    diagonal counted once)."""
+
+    def __init__(self, S: int, compact_every: int = 1 << 24):
+        self.S = S
+        self.keys = np.zeros(0, np.int64)
+        self.cnts = np.zeros(0, np.float64)
+        self._pend: List[np.ndarray] = []
+        self._pend_n = 0
+        self._compact_every = compact_every
+
+    def add(self, b1: np.ndarray, b2: np.ndarray) -> None:
+        lo = np.minimum(b1, b2).astype(np.int64)
+        hi = np.maximum(b1, b2).astype(np.int64)
+        self._pend.append(lo * self.S + hi)
+        self._pend_n += lo.size
+        if self._pend_n >= self._compact_every:
+            self._compact()
+
+    def _compact(self) -> None:
+        if not self._pend:
+            return
+        allk = np.concatenate([self.keys] + self._pend)
+        allc = np.concatenate(
+            [self.cnts] + [np.ones(k.size) for k in self._pend])
+        self.keys, inv = np.unique(allk, return_inverse=True)
+        self.cnts = np.bincount(inv, weights=allc)
+        self._pend, self._pend_n = [], 0
+
+    def coo(self):
+        self._compact()
+        return self.keys // self.S, self.keys % self.S, self.cnts
+
+    def __add__(self, other):
+        if not isinstance(other, SparseGW):  # sum() starts from 0
+            if other == 0:
+                return self
+            return NotImplemented
+        assert self.S == other.S
+        self._compact()
+        other._compact()
+        out = SparseGW(self.S)
+        allk = np.concatenate([self.keys, other.keys])
+        allc = np.concatenate([self.cnts, other.cnts])
+        out.keys, inv = np.unique(allk, return_inverse=True)
+        out.cnts = np.bincount(inv, weights=allc)
+        return out
+
+    __radd__ = __add__
+
+
+def _gw_is_sparse(genome: Genome, res: int) -> bool:
+    return genome.total_bins(res) > DENSE_GW_MAX_BINS
+
 
 # --------------------------------------------------------------- binning
 def _offsets_array(genome: Genome, res: int) -> np.ndarray:
@@ -130,10 +197,15 @@ def build_traditional_stream(files: Sequence[str], genome: Genome,
     """Single streaming pass over the valid beds updating every resolution's
     accumulators per chunk (no full-file load; reference holds all matrices
     in RAM the same way, matrixBuilding.py:549-565)."""
+    sparse_res = [res for res in whole_res if _gw_is_sparse(genome, res)]
+    dense_res = [res for res in whole_res if res not in sparse_res]
     whole_offs = {res: jnp.asarray(_offsets_array(genome, res))
-                  for res in whole_res}
+                  for res in dense_res}
     whole_acc = {res: jnp.zeros((genome.total_bins(res),) * 2, jnp.float32)
-                 for res in whole_res}
+                 for res in dense_res}
+    sparse_offs = {res: _offsets_array(genome, res) for res in sparse_res}
+    sparse_acc = {res: SparseGW(genome.total_bins(res))
+                  for res in sparse_res}
     nb = {res: {c: genome.n_bins(c, res) for c in genome.labels}
           for res in local_res}
     label_idx = {c: i for i, c in enumerate(genome.labels)}
@@ -155,16 +227,21 @@ def build_traditional_stream(files: Sequence[str], genome: Genome,
     total = 0
     for c1, p1, c2, p2 in iter_valid_bed(files, genome):
         total += len(c1)
-        for (cc1, pp1, cc2, pp2), valid in stream_chunks([c1, p1, c2, p2],
-                                                         CHUNK):
-            a1 = jnp.asarray(cc1)
-            a2 = jnp.asarray(cc2)
-            b1 = jnp.asarray(pp1)
-            b2 = jnp.asarray(pp2)
-            vj = jnp.asarray(valid)
-            for res in whole_res:
-                whole_acc[res] = bin_genomewide(
-                    whole_acc[res], a1, b1, a2, b2, whole_offs[res], vj, res)
+        for res in sparse_res:
+            offs = sparse_offs[res]
+            sparse_acc[res].add(offs[c1] + p1 // res, offs[c2] + p2 // res)
+        if dense_res:
+            for (cc1, pp1, cc2, pp2), valid in stream_chunks(
+                    [c1, p1, c2, p2], CHUNK):
+                a1 = jnp.asarray(cc1)
+                a2 = jnp.asarray(cc2)
+                b1 = jnp.asarray(pp1)
+                b2 = jnp.asarray(pp2)
+                vj = jnp.asarray(valid)
+                for res in dense_res:
+                    whole_acc[res] = bin_genomewide(
+                        whole_acc[res], a1, b1, a2, b2, whole_offs[res], vj,
+                        res)
         intra = c1 == c2
         for res in local_res:
             for gi, (group, N) in enumerate(local_groups[res]):
@@ -179,7 +256,9 @@ def build_traditional_stream(files: Sequence[str], genome: Genome,
                         jnp.asarray(a), jnp.asarray(d), jnp.asarray(valid),
                         res)
 
-    whole = {res: np.asarray(acc) for res, acc in whole_acc.items()}
+    whole: Dict[int, np.ndarray | SparseGW] = {
+        res: np.asarray(acc) for res, acc in whole_acc.items()}
+    whole.update(sparse_acc)
     local: Dict[int, Dict[str, np.ndarray]] = {}
     for res in local_res:
         local[res] = {}
@@ -203,6 +282,15 @@ def _write_weights(path: str, genome: Genome, res: int, cis_only: bool) -> None:
             w, _ = ice_balance(Mj, jnp.asarray(n))
             ws.append(np.asarray(w)[:n])
         weights = np.concatenate(ws)
+    elif genome.total_bins(res) > DENSE_GW_MAX_BINS:
+        # block-sparse genome-wide balance (the dense [S, S] form would be
+        # hundreds of GB at 10 kb); works directly in cooler bin space
+        from ..ops.sparse import blocks_from_coo, ice_balance_blocks
+
+        b1, b2, v = r.pixels_coo()
+        bm = blocks_from_coo(b1, b2, v.astype(np.float32), r.nbins)
+        w, _ = ice_balance_blocks(bm)
+        weights = np.asarray(w)[: r.nbins]
     else:
         Mj, S = r.genomewide_device()
         w, _ = ice_balance(Mj, jnp.asarray(S))
@@ -264,8 +352,12 @@ def _write_traditional_cooler(path, genome, whole, local):
     if os.path.exists(path):
         os.remove(path)
     for res, M in whole.items():
-        write_cooler(path, genome, res, {}, genomewide=M, dtype="int",
-                     metadata={"onlyIntra": "False"})
+        if isinstance(M, SparseGW):
+            write_cooler(path, genome, res, {}, genomewide_coo=M.coo(),
+                         dtype="int", metadata={"onlyIntra": "False"})
+        else:
+            write_cooler(path, genome, res, {}, genomewide=M, dtype="int",
+                         metadata={"onlyIntra": "False"})
     for res, mats in local.items():
         write_cooler(path, genome, res, mats, dtype="int",
                      metadata={"onlyIntra": "True"})

@@ -113,9 +113,14 @@ def synth_cooler(tmp, name, res, rng, tad_size=0):
 
 
 def main():
+    import logging
     import tempfile
 
     import jax
+
+    if os.environ.get("PERF_VERBOSE") == "1":
+        logging.basicConfig(level=21, stream=sys.stdout,
+                            format="%(name)s: %(message)s")
 
     cache = os.path.join(_REPO, ".jax_cache")
     os.makedirs(cache, exist_ok=True)

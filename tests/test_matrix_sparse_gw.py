@@ -1,0 +1,115 @@
+"""Block-sparse genome-wide pipeline path: traditional construction with
+DENSE_GW_MAX_BINS forced low must produce byte-identical cooler pixel
+tables and equal ICE weights to the dense path (the sparse form is what
+makes true 10 kb genome-wide matrices constructible at all)."""
+
+import h5py
+import numpy as np
+import pytest
+
+import hichap_master_tpu.pipeline.matrix as matrix_mod
+from hichap_master_tpu.core import Genome
+from hichap_master_tpu.io import CoolerReader
+from hichap_master_tpu.pipeline.matrix import (SparseGW,
+                                               traditional_matrix_construction)
+from hichap_master_tpu.testing.synthetic import (random_contacts,
+                                                 write_valid_bed)
+
+
+@pytest.fixture
+def genome():
+    # one length an exact multiple of a resolution: exercises the
+    # matrix-vs-cooler trailing-bin edge in the COO write path
+    return Genome({"1": 900_000, "2": 800_000, "X": 500_000})
+
+
+def _pixels(path, res):
+    with h5py.File(path, "r") as f:
+        g = f[f"/{res}"]
+        return (g["pixels/bin1_id"][:], g["pixels/bin2_id"][:],
+                g["pixels/count"][:])
+
+
+def test_sparse_gw_accumulator_matches_dense(rng, genome):
+    res = 100_000
+    S = genome.total_bins(res)
+    c1, p1, c2, p2 = random_contacts(rng, genome, 5000)
+    offs = matrix_mod._offsets_array(genome, res)
+    acc = SparseGW(S, compact_every=512)  # force multiple compactions
+    b1 = offs[c1] + p1 // res
+    b2 = offs[c2] + p2 // res
+    for s in range(0, len(b1), 700):
+        acc.add(b1[s:s + 700], b2[s:s + 700])
+    rows, cols, vals = acc.coo()
+    dense = np.zeros((S, S))
+    for a, b in zip(b1, b2):
+        dense[a, b] += 1
+        if a != b:
+            dense[b, a] += 1
+    iu = np.triu_indices(S)
+    want = dense[iu]
+    got = np.zeros((S, S))
+    got[rows, cols] = vals
+    np.testing.assert_array_equal(got[iu], want)
+    assert (rows <= cols).all()
+
+
+def test_sparse_pipeline_matches_dense(tmp_path, rng, genome, monkeypatch):
+    res_w, res_l = 100_000, 50_000
+    genome.write(tmp_path / "genomeSize")
+    rep = tmp_path / "rep1"
+    rep.mkdir()
+    c1, p1, c2, p2 = random_contacts(rng, genome, 6000)
+    write_valid_bed(str(rep / "CellA_R1_Valid.bed"), genome, c1, p1, c2, p2,
+                    rng)
+
+    out_d = traditional_matrix_construction(
+        str(tmp_path / "dense"), [str(rep)], str(tmp_path / "genomeSize"),
+        whole_res=[res_w], local_res=[res_l])
+
+    monkeypatch.setattr(matrix_mod, "DENSE_GW_MAX_BINS", 1)
+    out_s = traditional_matrix_construction(
+        str(tmp_path / "sparse"), [str(rep)], str(tmp_path / "genomeSize"),
+        whole_res=[res_w], local_res=[res_l])
+
+    for res in (res_w, res_l):
+        pd = _pixels(out_d["merged"], res)
+        ps = _pixels(out_s["merged"], res)
+        for a, b in zip(pd, ps):
+            np.testing.assert_array_equal(a, b)
+
+    rd = CoolerReader(out_d["merged"], res_w)
+    rs = CoolerReader(out_s["merged"], res_w)
+    wd = rd.bins_weight()
+    ws = rs.bins_weight()
+    np.testing.assert_array_equal(np.isnan(wd), np.isnan(ws))
+    m = ~np.isnan(wd)
+    np.testing.assert_allclose(ws[m], wd[m], rtol=2e-4)
+
+    # balanced matrices agree through the reader too
+    Md = rd.matrix("1", balance=True)
+    Ms = rs.matrix("1", balance=True)
+    np.testing.assert_allclose(
+        np.nan_to_num(Ms), np.nan_to_num(Md), rtol=2e-4, atol=1e-8)
+
+
+def test_sparse_pipeline_replicate_merge(tmp_path, rng, genome, monkeypatch):
+    monkeypatch.setattr(matrix_mod, "DENSE_GW_MAX_BINS", 1)
+    res_w = 100_000
+    genome.write(tmp_path / "genomeSize")
+    reps = []
+    contacts = []
+    for k in range(2):
+        rep = tmp_path / f"rep{k}"
+        rep.mkdir()
+        c1, p1, c2, p2 = random_contacts(rng, genome, 2000)
+        write_valid_bed(str(rep / f"Cell_R{k}_Valid.bed"), genome,
+                        c1, p1, c2, p2, rng)
+        reps.append(str(rep))
+        contacts.append((c1, p1, c2, p2))
+
+    out = traditional_matrix_construction(
+        str(tmp_path / "out"), reps, str(tmp_path / "genomeSize"),
+        whole_res=[res_w], local_res=[], balance=False)
+    b1, b2, v = _pixels(out["merged"], res_w)
+    assert v.sum() == sum(len(c[0]) for c in contacts)
