@@ -379,6 +379,18 @@ def build_haplotype_datasets(
     hap = genome.haplotype()
     nc = len(genome.labels)
 
+    too_fine = [res for res in whole_res
+                if hap.total_bins(res) > DENSE_GW_MAX_BINS]
+    if too_fine:
+        raise ValueError(
+            f"haplotype whole-genome resolutions {too_fine} exceed "
+            f"{DENSE_GW_MAX_BINS} bins (diploid genome): the imputation "
+            "disk vote needs the dense genome-wide matrix.  Use a coarser "
+            "wholeRes (the reference runs haplotype wholeRes >= 2 Mb, "
+            "README.md:312-318); genome-wide balancing/correction at fine "
+            "resolutions is available via ops/sparse.py "
+            "(sparse_ice_balance, sparse_genomewide_correction).")
+
     # ---- traditional matrices from all five bed classes (cols 0-3) -------
     all_files = [f for k in ("Bi_Allelic", "M_M", "P_P", "M_P", "P_M")
                  for f in beds[k]]
