@@ -325,7 +325,9 @@ def _packed_inputs(pr: dict):
 def _escalation_fn(batched: bool):
     """Map-space escalation on accelerators (gathers are the bottleneck);
     per-pixel on CPU where full-map stencils per level cost more than the
-    gathers they replace (measured 3.5x either way)."""
+    gathers they replace (measured 3.5x either way).
+    HICHAP_PALLAS_ESC=1 swaps in the fused Pallas ladder
+    (kernels/pallas_escalation.py) on accelerator backends."""
     from ..ops.loops_packed import (escalation_packed,
                                     escalation_packed_batch,
                                     escalation_packed_maps,
@@ -333,6 +335,20 @@ def _escalation_fn(batched: bool):
 
     if jax.default_backend() == "cpu":
         return escalation_packed_batch if batched else escalation_packed
+    if os.environ.get("HICHAP_PALLAS_ESC") == "1":
+        from ..kernels.pallas_escalation import escalation_pallas
+
+        if not batched:
+            return escalation_pallas
+
+        def _batch(D_raw, D_bal, D_exp, e_pix, x_pix, valid, *args):
+            outs = [escalation_pallas(D_raw[k], D_bal[k], D_exp[k],
+                                      e_pix[k], x_pix[k], valid[k], *args)
+                    for k in range(D_raw.shape[0])]
+            return tuple(jnp.stack([o[j] for o in outs])
+                         for j in range(5))
+
+        return _batch
     return (escalation_packed_maps_batch if batched
             else escalation_packed_maps)
 

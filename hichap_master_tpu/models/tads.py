@@ -415,15 +415,19 @@ def run_tads(cooler_path: str, res: int, allelic, out_path: str,
         model, iters, ll = baum_welch_fused(model, train_seqs)
     log.log(21, "HMM trained: %d EM iters, loglik %.3f", iters, ll)
 
+    # one Viterbi dispatch over every chromosome's segments (padding to the
+    # global max length once beats 23 per-chromosome pads + dispatches)
+    all_keys = [(c, k) for c in chroms for k in sorted(seg_dict[c])]
+    if all_keys:
+        all_decoded = viterbi(model, [seg_dict[c][k] for c, k in all_keys])
+    else:
+        all_decoded = []
+    decoded_by = {ck: d for ck, d in zip(all_keys, all_decoded)}
+
     results = {}
     for c in chroms:
         segs = seg_dict[c]
-        keys = sorted(segs)
-        if keys:
-            decoded = viterbi(model, [segs[k] for k in keys])
-        else:
-            decoded = []
-        paths = {k: d for k, d in zip(keys, decoded)}
+        paths = {k: decoded_by[(c, k)] for k in sorted(segs)}
         bd = boundary_call(paths, len(di_dict[c]), state_num, res)
         filtered = boundary_filter(bd, gap_dict[c], res)
         dstart, dend = boundaries_to_domains(bd, segs, di_dict[c], res,
