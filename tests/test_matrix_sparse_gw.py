@@ -113,3 +113,14 @@ def test_sparse_pipeline_replicate_merge(tmp_path, rng, genome, monkeypatch):
         whole_res=[res_w], local_res=[], balance=False)
     b1, b2, v = _pixels(out["merged"], res_w)
     assert v.sum() == sum(len(c[0]) for c in contacts)
+
+
+def test_haplotype_dense_cap_error(tmp_path, rng, genome, monkeypatch):
+    from hichap_master_tpu.pipeline.matrix import build_haplotype_datasets
+    from hichap_master_tpu.testing.synthetic import write_allelic_beds
+
+    monkeypatch.setattr(matrix_mod, "DENSE_GW_MAX_BINS", 4)
+    write_allelic_beds(str(tmp_path / "beds"), "Cell_R1_", genome, rng, n=50)
+    with pytest.raises(ValueError, match="sparse_ice_balance"):
+        build_haplotype_datasets(str(tmp_path / "beds"), genome,
+                                 whole_res=[100_000], local_res=[])
