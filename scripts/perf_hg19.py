@@ -43,6 +43,11 @@ RES_LOOP, RES_TAD, RES_COMP = 10_000, 40_000, 500_000
 WARM = os.environ.get("PERF_WARM", "1") == "1"
 
 RESULTS = {}
+ONLY = set(filter(None, os.environ.get("PERF_ONLY", "").split(",")))
+
+
+def want(stage: str) -> bool:
+    return not ONLY or stage in ONLY
 
 
 def timed(label, key, fn):
@@ -148,27 +153,28 @@ def main():
     total = 0.0
 
     # ---- 1. genome-wide block-sparse ICE at 10 kb (full balance) --------
-    T = 128
-    n_gw = hg19_bins(RES_LOOP * max(_S // 4, 1))  # keep tile count honest
-    R = (n_gw + T - 1) // T
-    coords = band_coords(R)
-    tiles, brow, bcol = gen_tiles_device(coords, T)
-    _ = np.asarray(tiles[0, 0, 0])
-    print(f"genome-wide sparse: n={n_gw} tiles={coords.shape[0]} "
-          f"({coords.shape[0]*T*T*4/2**20:.0f} MB; dense would be "
-          f"{n_gw*n_gw*4/2**30:.0f} GB)", flush=True)
+    if want("gw"):
+        T = 128
+        n_gw = hg19_bins(RES_LOOP * max(_S // 4, 1))  # keep tiles honest
+        R = (n_gw + T - 1) // T
+        coords = band_coords(R)
+        tiles, brow, bcol = gen_tiles_device(coords, T)
+        _ = np.asarray(tiles[0, 0, 0])
+        print(f"genome-wide sparse: n={n_gw} tiles={coords.shape[0]} "
+              f"({coords.shape[0]*T*T*4/2**20:.0f} MB; dense would be "
+              f"{n_gw*n_gw*4/2**30:.0f} GB)", flush=True)
 
-    def _gw():
-        w, st = sparse_ice_balance(tiles, brow, bcol, jnp.asarray(n_gw),
-                                   R=R, T=T, tol=1e-5, max_iters=200)
-        np.asarray(w[:2])
-        return int(np.asarray(st["iters"]))
+        def _gw():
+            w, st = sparse_ice_balance(tiles, brow, bcol, jnp.asarray(n_gw),
+                                       R=R, T=T, tol=1e-5, max_iters=200)
+            np.asarray(w[:2])
+            return int(np.asarray(st["iters"]))
 
-    it, w = timed(f"genome-wide sparse ICE 10kb ({n_gw} bins, tol 1e-5)",
-                  "gw_sparse_ice_10kb_s", _gw)
-    print(f"  converged in {it} iters", flush=True)
-    total += w
-    del tiles
+        it, w = timed(f"genome-wide sparse ICE 10kb ({n_gw} bins, tol 1e-5)",
+                      "gw_sparse_ice_10kb_s", _gw)
+        print(f"  converged in {it} iters", flush=True)
+        total += w
+        del tiles
 
     # ---- 2. dense two-step + ICE at 40 kb, batched per bucket -----------
     from hichap_master_tpu.core import Genome
@@ -178,7 +184,7 @@ def main():
         n = g.n_bins(c, RES_TAD)
         buckets.setdefault(pad_to_bucket(n, 512), []).append(n)
     t_corr = t_ice = 0.0
-    for n_pad, sizes in sorted(buckets.items()):
+    for n_pad, sizes in (sorted(buckets.items()) if want("res40") else []):
         k1, k2 = jax.random.split(jax.random.PRNGKey(n_pad))
         m = device_hap_batch(k1, sizes, n_pad)
         p = device_hap_batch(k2, sizes, n_pad)
@@ -207,46 +213,57 @@ def main():
     total += t_corr + t_ice
 
     # ---- 3+4. compartments 500 kb / TADs 40 kb ---------------------------
-    c500 = synth_cooler(tmp, "c500.cool", RES_COMP, rng)
-    _, w = timed("compartments 500kb, 23 chroms", "compartments_500kb_s",
-                 lambda: run_compartment(c500, RES_COMP, False,
-                                         os.path.join(tmp, "PC")))
-    total += w
-    c40 = synth_cooler(tmp, "c40.cool", RES_TAD, rng, tad_size=20)
-    _, w = timed("TADs 40kb, 23 chroms", "tads_40kb_s",
-                 lambda: run_tads(c40, RES_TAD, False,
-                                  os.path.join(tmp, "TAD"), plot=False))
-    total += w
+    if want("comp"):
+        c500 = synth_cooler(tmp, "c500.cool", RES_COMP, rng)
+        _, w = timed("compartments 500kb, 23 chroms", "compartments_500kb_s",
+                     lambda: run_compartment(c500, RES_COMP, False,
+                                             os.path.join(tmp, "PC")))
+        total += w
+    if want("tads"):
+        c40 = synth_cooler(tmp, "c40.cool", RES_TAD, rng, tad_size=20)
+        _, w = timed("TADs 40kb, 23 chroms", "tads_40kb_s",
+                     lambda: run_tads(c40, RES_TAD, False,
+                                      os.path.join(tmp, "TAD"), plot=False))
+        total += w
 
     # ---- 5. loops at 10 kb, all chromosomes ------------------------------
-    params = peaks_parameters(RES_LOOP)
-    band = params["maxapart"] // RES_LOOP + params["maxww"] + 1
-    inputs = {}
-    for c in CHROMS:
-        n = g.n_bins(c, RES_LOOP)
-        rows, cols, vals = band_coo(rng, n, band)
-        inputs[c] = (rows, cols, vals, np.ones(n), n)
-    print(f"loops input: {sum(v[0].size for v in inputs.values())/1e6:.1f}M "
-          f"band pixels over {len(inputs)} chroms", flush=True)
+    if want("loops"):
+        params = peaks_parameters(RES_LOOP)
+        band = params["maxapart"] // RES_LOOP + params["maxww"] + 1
+        # PERF_LOOP_CHROMS limits to the N largest chromosomes (debug)
+        sel = sorted(CHROMS, key=lambda c: -CHROMS[c])
+        lim = os.environ.get("PERF_LOOP_CHROMS")
+        if lim:
+            sel = sel[: int(lim)]
+        inputs = {}
+        for c in sel:
+            n = g.n_bins(c, RES_LOOP)
+            rows, cols, vals = band_coo(rng, n, band)
+            inputs[c] = (rows, cols, vals, np.ones(n), n)
+        print(f"loops input: "
+              f"{sum(v[0].size for v in inputs.values())/1e6:.1f}M "
+              f"band pixels over {len(inputs)} chroms", flush=True)
 
-    def _loops():
-        results = pcaller_multi(inputs, RES_LOOP, params)
-        return sum(len(d) for d, _ in results.values())
+        def _loops():
+            results = pcaller_multi(inputs, RES_LOOP, params)
+            return sum(len(d) for d, _ in results.values())
 
-    n_peaks, w = timed("loops 10kb, 23 chroms (batched band COO)",
-                       "loops_10kb_s", _loops)
-    total += w
-    print(f"loops found: {n_peaks}", flush=True)
+        n_peaks, w = timed(f"loops 10kb, {len(sel)} chroms (batched band COO)",
+                           "loops_10kb_s", _loops)
+        total += w
+        print(f"loops found: {n_peaks}", flush=True)
 
     RESULTS["total_s"] = round(total, 1)
     RESULTS["chroms"] = len(CHROMS)
     RESULTS["scale_divisor"] = _S
     RESULTS["bins_10kb"] = int(sum(g.n_bins(c, RES_LOOP) for c in CHROMS))
-    out = os.path.join(_REPO, ".perf_hg19.json")
-    with open(out, "w") as f:
-        json.dump(RESULTS, f)
-    print(f"\nFULL SUITE at real hg19 sizes (warm, one chip): {total:.1f} s"
-          f"\nwritten to {out}", flush=True)
+    print(f"\nFULL SUITE at real hg19 sizes (warm, one chip): {total:.1f} s",
+          flush=True)
+    if not ONLY:  # partial runs must not masquerade as the full suite
+        out = os.path.join(_REPO, ".perf_hg19.json")
+        with open(out, "w") as f:
+            json.dump(RESULTS, f)
+        print(f"written to {out}", flush=True)
 
 
 if __name__ == "__main__":
