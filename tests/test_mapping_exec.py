@@ -95,3 +95,71 @@ def test_pbs_rescue_mapping_with_mock(tmp_path):
     assert len(outs) == 2
     for o in outs:
         assert os.path.getsize(o) >= 100
+
+
+# A realistic TORQUE `qstat -x` document (structure per the Torque 6 XML
+# spec: <Data> of <Job> elements, each with Job_Id/Job_Name/job_state/
+# Resource_List/...), matching what the reference polls and parses
+# (HiCHap/mapping.py:280-294).  The parser must count jobs by Job_Name
+# substring across ALL states and ignore unrelated jobs and noise fields.
+TORQUE_QSTAT_XML = """<?xml version="1.0"?>
+<Data>
+  <Job>
+    <Job_Id>10101.master.cluster.local</Job_Id>
+    <Job_Name>GM12878_mapping_chunk0</Job_Name>
+    <Job_Owner>alice@master.cluster.local</Job_Owner>
+    <job_state>R</job_state>
+    <queue>batch</queue>
+    <server>master.cluster.local</server>
+    <Resource_List><mem>10gb</mem><nodect>1</nodect><nodes>1:ppn=4</nodes>
+      <walltime>240:00:00</walltime></Resource_List>
+    <resources_used><cput>02:13:41</cput><mem>8473644kb</mem>
+      <vmem>10244232kb</vmem><walltime>02:44:02</walltime></resources_used>
+    <exec_host>node07/0-3</exec_host>
+  </Job>
+  <Job>
+    <Job_Id>10102.master.cluster.local</Job_Id>
+    <Job_Name>GM12878_mapping_chunk1</Job_Name>
+    <Job_Owner>alice@master.cluster.local</Job_Owner>
+    <job_state>Q</job_state>
+    <queue>batch</queue>
+    <Resource_List><mem>10gb</mem><nodect>1</nodect><nodes>1:ppn=4</nodes>
+    </Resource_List>
+  </Job>
+  <Job>
+    <Job_Id>10103.master.cluster.local</Job_Id>
+    <Job_Name>GM12878_mapping_chunk2</Job_Name>
+    <job_state>C</job_state>
+    <queue>batch</queue>
+    <exit_status>0</exit_status>
+  </Job>
+  <Job>
+    <Job_Id>10099.master.cluster.local</Job_Id>
+    <Job_Name>somebody_elses_blast</Job_Name>
+    <Job_Owner>bob@master.cluster.local</Job_Owner>
+    <job_state>R</job_state>
+    <queue>long</queue>
+  </Job>
+</Data>
+"""
+
+
+def test_pbs_job_count_parses_realistic_torque_xml(tmp_path):
+    qstat = str(tmp_path / "qstat")
+    with open(str(tmp_path / "qstat.xml"), "w") as f:
+        f.write(TORQUE_QSTAT_XML)
+    _write_exe(qstat, f"cat {tmp_path}/qstat.xml")
+    ex = PBSExecutor(qstat=qstat)
+    # all three GM12878 jobs count, regardless of R/Q/C state, like the
+    # reference's PBS_Pooler; the unrelated job does not
+    assert ex._job_count("GM12878_mapping") == 3
+    assert ex._job_count("GM12878_mapping_chunk1") == 1
+    assert ex._job_count("nonexistent") == 0
+
+
+def test_pbs_job_count_tolerates_garbage_and_empty(tmp_path):
+    qstat = str(tmp_path / "qstat")
+    _write_exe(qstat, "echo 'qstat: Unknown queue MSG=cannot locate queue'")
+    assert PBSExecutor(qstat=qstat)._job_count("x") == 0
+    _write_exe(qstat, "true")
+    assert PBSExecutor(qstat=qstat)._job_count("x") == 0
