@@ -38,31 +38,56 @@ _HALO_X = 128      # lane-aligned column halo from the neighbor tiles
 _TILE_X = 256
 
 
-def _roll2(a, de: int, dx: int):
+def _roll1(a, sh, axis: int):
+    """Circular shift with a static OR traced amount.
+
+    Static path skips zero shifts (Mosaic lowers a roll into per-axis
+    slices and a zero shift yields a zero-width vector type it rejects).
+    Traced path uses ``pltpu.roll``'s dynamic rotate with the shift
+    normalized to [0, size)."""
+    size = a.shape[axis]
+    if isinstance(sh, (int, np.integer)):
+        sh = int(sh) % size
+        if sh == 0:
+            return a
+        return pltpu.roll(a, shift=sh, axis=axis)
+    return pltpu.roll(a, shift=jnp.mod(sh, size), axis=axis)
+
+
+def _roll2(a, de, dx):
     """a[r, c] -> a[r + de, c + dx], wrap-free for the center region
     (margins/halos absorb the wrapped lanes)."""
-    if de or dx:
-        return jnp.roll(a, (-de, -dx), (0, 1))
-    return a
+    a = _roll1(a, -de, 0)
+    return _roll1(a, -dx, 1)
 
 
-def _rect(W, r0: int, r1: int, c0: int, c1: int):
-    """Rectangle sum in the packed domain (ops/loops_packed.rect_map)."""
+def _rect(W, r0, r1, c0, c1):
+    """Rectangle sum in the packed domain (ops/loops_packed.rect_map);
+    bounds may be static ints or traced (the ladder level)."""
     return (_roll2(W, c1 - r0, r0) - _roll2(W, c1 - r1 - 1, r1 + 1)
             - _roll2(W, c0 - 1 - r0, r0) + _roll2(W, c0 - 1 - r1 - 1,
                                                   r1 + 1))
 
 
-def _donut(W, w: int, pw: int):
+def _donut_var(W, w):
+    """Level-dependent part of the donut background (w traced)."""
     return (_rect(W, -w, w, -w, w)
             - _rect(W, 0, 0, -w, w)
-            - _rect(W, -w, w, 0, 0)
-            - _rect(W, -pw, pw, -pw, pw)
-            + _rect(W, 0, 0, -pw, pw)
-            + _rect(W, -pw, pw, 0, 0))
+            - _rect(W, -w, w, 0, 0))
 
 
-def _lowerleft(W, w: int, pw: int):
+def _donut_const(W, pw: int):
+    """Level-invariant part (subtracted): the pw peak exclusion."""
+    return (_rect(W, -pw, pw, -pw, pw)
+            - _rect(W, 0, 0, -pw, pw)
+            - _rect(W, -pw, pw, 0, 0))
+
+
+def _donut(W, w, pw: int):
+    return _donut_var(W, w) - _donut_const(W, pw)
+
+
+def _lowerleft(W, w, pw: int):
     return _rect(W, 1, w, -w, -1) - _rect(W, 1, pw, -pw, -1)
 
 
@@ -81,23 +106,52 @@ def _ladder_kernel(wr_l, wr_c, wr_r, wb_l, wb_c, wb_r, we_l, we_c, we_r,
     def center(m):
         return m[:, _HALO_X:_HALO_X + _TILE_X]
 
-    t = jnp.full((wr_c.shape[0], _TILE_X), _UNRESOLVED, jnp.int32)
-    accs = [jnp.zeros((wr_c.shape[0], _TILE_X), jnp.float32)
-            for _ in range(4)]
-    hist = jnp.zeros((8, 128), jnp.float32)
-    for li, w in enumerate(range(ww, maxww + 1)):
-        reads = center(_lowerleft(Wr, w, pw))
+    # The ladder runs as a fori_loop with the window width TRACED: a
+    # Python-unrolled loop makes every level's rolled maps loop-invariant
+    # pure functions of W, the scheduler hoists them, and the live set
+    # blows the 128 MB VMEM (observed 150 MB at chr1 scale).  With dynamic
+    # pltpu.roll shifts only one level's temporaries are ever live.
+    # Level-invariant pw-rects hoist once, outside the loop (static shifts).
+    dconst_b = _donut_const(Wb, pw)
+    dconst_e = _donut_const(We, pw)
+    llconst_r = _rect(Wr, 1, pw, -pw, -1)
+    llconst_b = _rect(Wb, 1, pw, -pw, -1)
+    llconst_e = _rect(We, 1, pw, -pw, -1)
+
+    # static one-hot target grid: Mosaic has no scatter-add lowering even
+    # for a constant index, so the histogram updates via an iota mask
+    hri = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    hci = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+    shape = (wr_c.shape[0], _TILE_X)
+    t0 = jnp.full(shape, _UNRESOLVED, jnp.int32)
+    z = jnp.zeros(shape, jnp.float32)
+
+    def body(li, carry):
+        t, a0, a1, a2, a3, hist = carry
+        w = ww + li
+        reads = center(_rect(Wr, 1, w, -w, -1) - llconst_r)
         newly = pix & (t == _UNRESOLVED) & (reads >= 16.0)
         t = jnp.where(newly, li, t)
-        for a_i, v in enumerate((_donut(Wb, w, pw), _donut(We, w, pw),
-                                 _lowerleft(Wb, w, pw),
-                                 _lowerleft(We, w, pw))):
-            accs[a_i] = accs[a_i] + jnp.where(newly, center(v), 0.0)
-        hist = hist.at[li // 128, li % 128].add(
-            jnp.sum(newly.astype(jnp.float32)))
+        v0 = _donut_var(Wb, w) - dconst_b
+        v1 = _donut_var(We, w) - dconst_e
+        v2 = _rect(Wb, 1, w, -w, -1) - llconst_b
+        v3 = _rect(We, 1, w, -w, -1) - llconst_e
+        a0 = a0 + jnp.where(newly, center(v0), 0.0)
+        a1 = a1 + jnp.where(newly, center(v1), 0.0)
+        a2 = a2 + jnp.where(newly, center(v2), 0.0)
+        a3 = a3 + jnp.where(newly, center(v3), 0.0)
+        hsel = (hri == li // 128) & (hci == li % 128)
+        hist = hist + jnp.where(hsel,
+                                jnp.sum(newly.astype(jnp.float32)), 0.0)
+        return t, a0, a1, a2, a3, hist
+
+    t, a0, a1, a2, a3, hist = jax.lax.fori_loop(
+        0, maxww - ww + 1, body,
+        (t0, z, z, z, z, jnp.zeros((8, 128), jnp.float32)))
 
     t_ref[:] = t
-    a0_ref[:], a1_ref[:], a2_ref[:], a3_ref[:] = accs
+    a0_ref[:], a1_ref[:], a2_ref[:], a3_ref[:] = a0, a1, a2, a3
     hist_ref[:] = hist
 
 
@@ -169,6 +223,12 @@ def escalation_pallas(D_raw, D_bal, D_exp, e_pix, x_pix, valid,
             jax.ShapeDtypeStruct((E_tot, Xp_t), jnp.float32),
             jax.ShapeDtypeStruct((8 * ntiles, 128), jnp.float32),
         ),
+        # ~24 MB live at chr1 scale (windows + hoisted pw-rects + carried
+        # accumulators + one level's roll temporaries) — above the 16 MB
+        # default scoped-vmem stack limit, comfortably under the 128 MB
+        # hardware VMEM with double-buffered blocks
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(Wr3, Wr3, Wr3, Wb3, Wb3, Wb3, We3, We3, We3, maskp)
 

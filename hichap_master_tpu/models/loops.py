@@ -323,11 +323,14 @@ def _packed_inputs(pr: dict):
 
 
 def _escalation_fn(batched: bool):
-    """Map-space escalation on accelerators (gathers are the bottleneck);
-    per-pixel on CPU where full-map stencils per level cost more than the
-    gathers they replace (measured 3.5x either way).
-    HICHAP_PALLAS_ESC=1 swaps in the fused Pallas ladder
-    (kernels/pallas_escalation.py) on accelerator backends."""
+    """Map-space escalation dispatch:
+
+    * CPU — per-pixel formulation (full-map stencils per level cost ~3.5x
+      the gathers they replace there);
+    * TPU/accelerators — the fused Pallas ladder by DEFAULT (measured 2x
+      the XLA map-space path at full chr1 scale: 0.85 s vs 1.7 s warm,
+      scripts/perf_loops_pallas.py); ``HICHAP_PALLAS_ESC=0`` falls back to
+      the XLA map-space path."""
     from ..ops.loops_packed import (escalation_packed,
                                     escalation_packed_batch,
                                     escalation_packed_maps,
@@ -335,18 +338,19 @@ def _escalation_fn(batched: bool):
 
     if jax.default_backend() == "cpu":
         return escalation_packed_batch if batched else escalation_packed
-    if os.environ.get("HICHAP_PALLAS_ESC") == "1":
+    if os.environ.get("HICHAP_PALLAS_ESC", "1") != "0":
         from ..kernels.pallas_escalation import escalation_pallas
 
         if not batched:
             return escalation_pallas
 
         def _batch(D_raw, D_bal, D_exp, e_pix, x_pix, valid, *args):
-            outs = [escalation_pallas(D_raw[k], D_bal[k], D_exp[k],
-                                      e_pix[k], x_pix[k], valid[k], *args)
-                    for k in range(D_raw.shape[0])]
-            return tuple(jnp.stack([o[j] for o in outs])
-                         for j in range(5))
+            # vmap maps the chromosome axis onto a leading Pallas grid
+            # dimension — one dispatch for the whole size bucket
+            def one(dr, db, de, ep, xp_, vd):
+                return escalation_pallas(dr, db, de, ep, xp_, vd, *args)
+
+            return jax.vmap(one)(D_raw, D_bal, D_exp, e_pix, x_pix, valid)
 
         return _batch
     return (escalation_packed_maps_batch if batched
