@@ -375,11 +375,13 @@ def pcaller_chrom_coo(rows, cols, vals, weights, n: int, res: int, params,
 
     if packed:
         D_raw, D_bal, D_exp = _packed_inputs(pr)
+        epad_d = jnp.asarray(pr["epad"])
+        xpad_d = jnp.asarray(pr["xpad"].astype(np.int32))
+        vpad_d = jnp.asarray(pr["vpad"])
         resolved, bsk, bek, bsy, bey = _escalation_fn(False)(
-            D_raw, D_bal, D_exp, jnp.asarray(pr["epad"]),
-            jnp.asarray(pr["xpad"].astype(np.int32)),
-            jnp.asarray(pr["vpad"]),
+            D_raw, D_bal, D_exp, epad_d, xpad_d, vpad_d,
             ww, maxww, pw, num, pr["e_lo"], pr["x_pad"])
+        dev = (epad_d, xpad_d, vpad_d, D_raw)
     else:
         S_raw, S_bal, S_exp = _build_band_prefixes(
             jnp.asarray(pr["br"]), jnp.asarray(pr["bc"]),
@@ -389,7 +391,8 @@ def pcaller_chrom_coo(rows, cols, vals, weights, n: int, res: int, params,
             S_raw, S_exp, S_bal, jnp.asarray(pr["xpad"]),
             jnp.asarray(pr["ypad"]), jnp.asarray(pr["vpad"]),
             ww, maxww, pw)
-    return _pcaller_post(pr, resolved, bsk, bek, bsy, bey, res)
+        dev = None
+    return _pcaller_post(pr, resolved, bsk, bek, bsy, bey, res, dev=dev)
 
 
 def pcaller_multi(inputs: dict, res: int, params, allelic: bool = False,
@@ -426,13 +429,22 @@ def pcaller_multi(inputs: dict, res: int, params, allelic: bool = False,
             D_raw, D_bal, D_exp, epad, xpad, vpad,
             pr0["ww"], pr0["maxww"], pr0["pw"], pr0["num"],
             pr0["e_lo"], pr0["x_pad"])
-        resolved = np.asarray(resolved)
-        bsk, bek = np.asarray(bsk), np.asarray(bek)
-        bsy, bey = np.asarray(bsy), np.asarray(bey)
-        for i, chro in enumerate(chros):
-            results[chro] = _pcaller_post(
-                preps[chro], resolved[i], bsk[i], bek[i], bsy[i], bey[i],
-                res)
+        if _use_device_post(pr0):
+            # keep everything on device; _pcaller_post downloads only
+            # compacted survivors per chromosome
+            for i, chro in enumerate(chros):
+                results[chro] = _pcaller_post(
+                    preps[chro], resolved[i], bsk[i], bek[i], bsy[i],
+                    bey[i], res,
+                    dev=(epad[i], xpad[i], vpad[i], D_raw[i]))
+        else:
+            resolved = np.asarray(resolved)
+            bsk, bek = np.asarray(bsk), np.asarray(bek)
+            bsy, bey = np.asarray(bsy), np.asarray(bey)
+            for i, chro in enumerate(chros):
+                results[chro] = _pcaller_post(
+                    preps[chro], resolved[i], bsk[i], bek[i], bsy[i],
+                    bey[i], res)
     return results
 
 
@@ -484,9 +496,69 @@ def _gap_neighborhood_keep(pxi, pyi, N: int, gaps: set) -> np.ndarray:
     return ~(has_gap(pxi) | has_gap(pyi))
 
 
-def _pcaller_post(pr: dict, resolved, bsk, bek, bsy, bey, res: int):
-    """Poisson/BH + gap filtering of escalated pixels (host, reference
-    semantics StructureFind.py:1869-1946)."""
+def _use_device_post(pr: dict) -> bool:
+    """Device post-filter policy: on accelerators the escalation outputs
+    are already resident, and compacting survivors on device replaces
+    ~25 MB/chromosome of per-pixel downloads with a few hundred KB.
+    ``HICHAP_HOST_STATS=1`` forces the float64 host path;
+    ``HICHAP_FORCE_DEVICE_POST=1`` forces the device path (CPU tests)."""
+    if os.environ.get("HICHAP_HOST_STATS") == "1":
+        return False
+    if os.environ.get("HICHAP_FORCE_DEVICE_POST") == "1":
+        return True
+    return jax.default_backend() != "cpu"
+
+
+def _post_device(pr: dict, resolved, bsk, bek, bsy, bey, res: int, dev):
+    """Compacted device post (ops/stats_jax.loop_post_compact); returns
+    None when a flavor overflows the compaction buffer (host fallback)."""
+    from ..ops.stats_jax import loop_post_compact
+
+    epad_d, xpad_d, vpad_d, D_raw = dev
+    N, P2 = pr["N"], pr["P2"]
+    nb = len(pr["biases"])
+    biases = np.zeros(max(nb, N) + 1, np.float32)
+    biases[:nb] = pr["biases"]
+    gap_ind = np.zeros(N + 1, np.int64)
+    if pr["gaps"]:
+        gap_ind[np.fromiter(pr["gaps"], int, len(pr["gaps"]))] = 1
+    # exclusive prefix (host semantics: cs[hi] - cs[lo] over [lo, hi))
+    cs = np.concatenate([[0], np.cumsum(gap_ind[:-1])]).astype(np.int32)
+    cap_out = min(P2, 1 << 16)
+
+    outs = loop_post_compact(
+        resolved, bsk, bek, bsy, bey, epad_d, xpad_d, vpad_d, D_raw,
+        jnp.asarray(pr["predictE"]), jnp.asarray(biases),
+        jnp.asarray(cs), jnp.asarray(N), jnp.asarray(pr["sig"],
+                                                     jnp.float32),
+        ww=pr["ww"], e_off=pr["e_lo"], x_off=pr["x_pad"], cap_out=cap_out)
+    host = jax.device_get(outs)
+    out = {}
+    for fl, (cnt, _idx, xi, yi, o, fold, pv, qv) in zip("KY", host):
+        cnt = int(cnt)
+        if cnt > cap_out:
+            return None
+        out[fl] = {
+            (int(a) * res, int(b) * res): (float(ov), float(fv), float(pvv),
+                                           float(qvv))
+            for a, b, ov, fv, pvv, qvv in zip(
+                xi[:cnt], yi[:cnt], o[:cnt], fold[:cnt], pv[:cnt], qv[:cnt])
+        }
+    common = set(out["K"]) & set(out["Y"])
+    return ({pos: out["K"][pos] for pos in common},
+            {pos: out["Y"][pos] for pos in common})
+
+
+def _pcaller_post(pr: dict, resolved, bsk, bek, bsy, bey, res: int,
+                  dev=None):
+    """Poisson/BH + gap filtering of escalated pixels (reference semantics
+    StructureFind.py:1869-1946).  With ``dev`` (device-resident pixel
+    coordinates + raw band map) and an accelerator backend the whole stage
+    runs on device and only compacted survivors download."""
+    if dev is not None and _use_device_post(pr):
+        got = _post_device(pr, resolved, bsk, bek, bsy, bey, res, dev)
+        if got is not None:
+            return got
     npix, N, sig = pr["npix"], pr["N"], pr["sig"]
     xi, yi = pr["xi"], pr["yi"]
     o_val, em_val = pr["o_val"], pr["em_val"]

@@ -82,3 +82,91 @@ def poisson_bh_chunked_jax(o, e, valid):
     qs = jnp.where(live, qs, 1.0)
     qv = jnp.zeros_like(ps).at[order].set(qs)
     return pv, qv
+
+
+@functools.partial(jax.jit, static_argnames=("ww", "e_off", "x_off"))
+def _post_prep(resolved, bek, bey, epad, xpad, vpad, o_map, pE, biases,
+               gap_cs, n, *, ww: int, e_off: int, x_off: int):
+    """Shared per-pixel quantities for the device post-filter: observed
+    counts gathered straight from the packed raw band map (never uploaded),
+    expected-by-distance, bias product, the shared flavor mask, and the
+    ±5-bin gap-neighborhood keep (reference bounds [p-5, p+5) clipped to
+    [0, N-1), StructureFind.py:1904-1927)."""
+    o = o_map[epad + e_off, xpad + x_off]
+    em = pE[jnp.clip(epad - ww, 0, pE.shape[0] - 1)]
+    yp = xpad + epad
+    bias_xy = biases[xpad] * biases[yp]
+    mask = vpad & resolved & (bek != 0) & (bey != 0)
+
+    def has_gap(p):
+        lo = jnp.where(p > 5, p - 5, 0)
+        hi = jnp.where(p + 5 < n, p + 5, n - 1)
+        return (gap_cs[hi] - gap_cs[lo]) > 0
+
+    gk = ~(has_gap(xpad) | has_gap(yp))
+    return o, em, bias_xy, mask, gk
+
+
+@jax.jit
+def _flavor_e(bs, be, em, bias_xy, mask):
+    """Per-flavor expected value + validity (background ratio x biases)."""
+    brv = jnp.where(be != 0, bs / jnp.where(be != 0, be, 1.0), 0.0)
+    e = em * brv * bias_xy
+    return e, mask & (brv != 0) & (e > 0)
+
+
+@functools.partial(jax.jit, static_argnames=("cap_out",))
+def _flavor_compact(qv, pv, val, gk, o, e, xpad, yp, sig, *, cap_out: int):
+    """Survivor selection + fixed-size compaction for one flavor."""
+    P2 = qv.shape[0]
+    surv = val & (qv <= sig) & gk
+    idx = jnp.sort(jnp.where(surv, jnp.arange(P2, dtype=jnp.int32),
+                             P2))[:cap_out]
+    safe = jnp.clip(idx, 0, P2 - 1)
+    fold = o / jnp.where(e == 0, 1.0, e)
+    return (jnp.sum(surv.astype(jnp.int32)), idx, xpad[safe], yp[safe],
+            o[safe], fold[safe], pv[safe], qv[safe])
+
+
+def loop_post_compact(resolved, bsk, bek, bsy, bey, epad, xpad, vpad,
+                      o_map, pE, biases, gap_cs, n, sig, *,
+                      ww: int, e_off: int, x_off: int, cap_out: int):
+    """Device-resident loop post-filter with survivor compaction.
+
+    Runs the whole of the reference's post-escalation stage
+    (StructureFind.py:1869-1946) on device for both background flavors —
+    background-ratio masks, expected scaling by balance biases, Poisson
+    survival, per-λ-chunk BH, q ≤ sig rejection, ±5-bin gap-neighborhood
+    removal — and returns only COMPACTED survivors.  Rationale: the
+    per-pixel arrays are [P2] ≈ millions; shipping them (plus p/q) to the
+    host dominated the loop stage wall time (50 of 78 s warm at chr1 scale
+    over the tunneled link).  Survivors are a few thousand: each flavor
+    returns (count, idx, xi, yi, o, fold, p, q) sliced to ``cap_out``
+    (callers must fall back to the host path when count > cap_out).
+
+    Deliberately NOT one fused jit: the composition stays Python so the
+    λ-chunk BH program — the big graph, typically already compiled for
+    these [P2] shapes — is reused as-is; a single fused graph at chr1
+    scale took the remote compiler >19 min.  Intermediates stay on device
+    between the pieces, so the split costs only dispatch overhead.
+
+    resolved..bey : [P2] escalation outputs (still on device)
+    epad/xpad/vpad: [P2] pixel coordinates/validity (the escalation inputs)
+    o_map         : [E, Xp] packed raw band map (models/loops._packed_inputs)
+    pE            : [num-ww] expected-by-distance curve
+    biases        : [>=n] per-bin balance biases (1/weights)
+    gap_cs        : [>=n] exclusive prefix count of gap bins
+    n, sig        : traced scalars (bin count, significance level)
+    """
+    o, em, bias_xy, mask, gk = _post_prep(
+        resolved, bek, bey, epad, xpad, vpad, o_map, pE, biases, gap_cs,
+        n, ww=ww, e_off=e_off, x_off=x_off)
+    yp = epad + xpad
+
+    def flavor(bs, be):
+        e, val = _flavor_e(bs, be, em, bias_xy, mask)
+        pv, qv = poisson_bh_chunked_jax(o, e, val)
+        return _flavor_compact(qv, pv, val, gk, o, e, xpad, yp, sig,
+                               cap_out=cap_out)
+
+    return flavor(bsk, bek), flavor(bsy, bey)

@@ -1,0 +1,94 @@
+"""The compacted on-device loop post-filter (ops/stats_jax.loop_post_compact
+via models/loops._post_device) must reproduce the host post exactly on
+well-separated data — same surviving pixels, f32-tolerance statistics."""
+
+import numpy as np
+import pytest
+
+from hichap_master_tpu.models.loops import (pcaller_chrom_coo,
+                                            pcaller_multi,
+                                            peaks_parameters)
+
+RES = 10_000
+
+
+def _chrom(rng, n, band, loops=6):
+    d = np.arange(band)
+    lam = 12.0 / (d + 1.0) ** 0.8
+    counts = rng.poisson(np.broadcast_to(lam, (n, band))).astype(np.float64)
+    for _ in range(loops):
+        x = int(rng.integers(5, n - band - 5))
+        e = int(rng.integers(20, band - 20))
+        counts[x, e] = counts[x, e] * 10 + 80
+    rows, es = np.nonzero(counts)
+    cols = rows + es
+    keep = cols < n
+    return rows[keep].astype(np.int64), cols[keep].astype(np.int64), \
+        counts[rows, es][keep]
+
+
+@pytest.fixture
+def params():
+    return peaks_parameters(RES)
+
+
+def _compare(host, dev, label):
+    dh, lh = host
+    dd, ld = dev
+    assert set(dd) == set(dh), label
+    assert set(ld) == set(lh), label
+    for pos in dh:
+        np.testing.assert_allclose(dd[pos], dh[pos], rtol=5e-5,
+                                   atol=1e-7, err_msg=f"{label} {pos}")
+
+
+def test_device_post_matches_host_single(params, monkeypatch):
+    rng = np.random.default_rng(11)
+    n = 512
+    band = min(params["maxapart"] // RES + params["maxww"] + 1, n - 8)
+    rows, cols, vals = _chrom(rng, n, band)
+    # weights with a zero (filtered bin) exercises the bias path
+    wt = np.ones(n)
+    wt[37] = 0.0
+    host = pcaller_chrom_coo(rows, cols, vals, wt, n, RES, params)
+    monkeypatch.setenv("HICHAP_FORCE_DEVICE_POST", "1")
+    dev = pcaller_chrom_coo(rows, cols, vals, wt, n, RES, params)
+    assert host[0], "test data produced no loops — not exercising the path"
+    _compare(host, dev, "single")
+
+
+def test_device_post_matches_host_multi(params, monkeypatch):
+    rng = np.random.default_rng(5)
+    sizes = {"1": 512, "2": 512, "3": 384}
+    band = params["maxapart"] // RES + params["maxww"] + 1
+    inputs = {}
+    for c, n in sizes.items():
+        rows, cols, vals = _chrom(rng, n, min(band, n - 8))
+        inputs[c] = (rows, cols, vals, np.ones(n), n)
+    host = pcaller_multi(inputs, RES, params)
+    monkeypatch.setenv("HICHAP_FORCE_DEVICE_POST", "1")
+    dev = pcaller_multi(inputs, RES, params)
+    for c in sizes:
+        _compare(host[c], dev[c], c)
+
+
+def test_device_post_gap_filter(params, monkeypatch):
+    """A gap bin adjacent to a called loop must remove it on both paths."""
+    rng = np.random.default_rng(11)
+    n = 512
+    band = min(params["maxapart"] // RES + params["maxww"] + 1, n - 8)
+    rows, cols, vals = _chrom(rng, n, band)
+    host = pcaller_chrom_coo(rows, cols, vals, np.ones(n), n, RES, params)
+    assert host[0]
+    # zero out all contacts of a bin 3 away from the first loop's x bin
+    x0 = next(iter(host[0]))[0] // RES
+    gx = x0 + 3
+    drop = (rows != gx) & (cols != gx)
+    r2, c2, v2 = rows[drop], cols[drop], vals[drop]
+    host2 = pcaller_chrom_coo(r2, c2, v2, np.ones(n), n, RES, params)
+    monkeypatch.setenv("HICHAP_FORCE_DEVICE_POST", "1")
+    dev2 = pcaller_chrom_coo(r2, c2, v2, np.ones(n), n, RES, params)
+    assert set(dev2[0]) == set(host2[0])
+    assert all(p[0] // RES < gx - 5 or p[0] // RES > gx + 5
+               or not (gx - 5 <= p[1] // RES <= gx + 5)
+               for p in dev2[0])
