@@ -259,6 +259,14 @@ def _pcaller_prep(rows, cols, vals, weights, n: int, res: int, params,
     bc[:bn] = cols[band]
     bv[:bn] = vals[band]
     bb[:bn] = bal_vals[band]
+    # slim upload form: the diagonal fits uint8/uint16 and the balanced
+    # values recompute on device from bv + weights (ops/loops_packed)
+    bd = np.zeros(cap, np.uint8 if num <= 255 else np.uint16)
+    bd[:bn] = d_all[band]
+    if weights is not None:
+        w32 = np.asarray(weights, np.float32)  # NaN preserved (cooler)
+    else:
+        w32 = np.ones(n, np.float32)
 
     # candidate pixels straight from the COO (diag removed by d >= ww)
     sel = (d_all >= ww) & (d_all <= maxapart // res)
@@ -273,8 +281,14 @@ def _pcaller_prep(rows, cols, vals, weights, n: int, res: int, params,
                      weights=vals[(d_all > 0) & (d_all < num)], minlength=n)
     gaps = set(np.flatnonzero(rs == 0).tolist())
 
+    band_keep = None
     if allelic:
         keep = _allelic_prefilter(xi, yi, N, gap, rows, cols, vals)
+        # the same filter in band order, for the on-device pixel derivation
+        band_keep = np.zeros(cap, bool)
+        band_keep[np.flatnonzero((bd[:bn] >= ww)
+                                 & (bd[:bn] <= maxapart // res))[keep]] = \
+            True
         xi, yi, o_val, em_val = xi[keep], yi[keep], o_val[keep], em_val[keep]
 
     log.log(21, "observed contact number: %d", xi.size)
@@ -299,27 +313,44 @@ def _pcaller_prep(rows, cols, vals, weights, n: int, res: int, params,
 
     return dict(n=n, N=N, P=P, num=num, ww=ww, pw=pw, maxww=maxww, sig=sig,
                 predictE=predictE, br=br, bc=bc, bv=bv, bb=bb, cap=cap,
+                bd=bd, w32=w32, band_keep=band_keep,
+                dmax=maxapart // res,
                 xi=xi, yi=yi, o_val=o_val, em_val=em_val, npix=npix, P2=P2,
                 xpad=xpad, ypad=ypad, vpad=vpad, epad=epad, biases=biases,
                 gaps=gaps, e_lo=e_lo, x_pad=x_pad, Xp=Xp)
 
 
 def _packed_inputs(pr: dict):
-    """Packed-band device inputs for one prepared chromosome.
-    br/bc/bv/bb hold the d∈[0,num) band (padding rows are d=0); raw keeps
-    d>0 (diag removed), balanced keeps d>=ww."""
-    from ..ops.loops_packed import pack_coo
+    """Packed-band device inputs + device-derived pixel arrays for one
+    prepared chromosome.
 
-    bd = pr["bc"] - pr["br"]
-    brj, bcj = jnp.asarray(pr["br"]), jnp.asarray(pr["bc"])
-    D_raw = pack_coo(brj, bcj, jnp.asarray(pr["bv"] * (bd > 0)),
-                     pr["num"], pr["Xp"], pr["e_lo"], pr["x_pad"])
-    D_bal = pack_coo(brj, bcj, jnp.asarray(pr["bb"] * (bd >= pr["ww"])),
-                     pr["num"], pr["Xp"], pr["e_lo"], pr["x_pad"])
+    Uploads only the slim band COO — row int32, diagonal uint8/uint16,
+    raw value f32 — plus the [n] weight vector; the balanced band, the
+    expected map, and the candidate pixel arrays (epad/xpad/vpad) are all
+    computed on device (ops/loops_packed).  At chr1 scale this drops the
+    per-chromosome upload from ~100 MB (4x band arrays + 3x pixel arrays)
+    to ~36 MB.  Returns (D_raw, D_bal, D_exp, epad, xpad, vpad)."""
+    from ..ops.loops_packed import (derive_pixels, derive_pixels_masked,
+                                    pack_raw_bal)
+
+    row_d = jnp.asarray(pr["br"])
+    d_d = jnp.asarray(pr["bd"])
+    D_raw, D_bal = pack_raw_bal(row_d, d_d, jnp.asarray(pr["bv"]),
+                                jnp.asarray(pr["w32"]), B=pr["num"],
+                                Xp=pr["Xp"], e_lo=pr["e_lo"],
+                                x_pad=pr["x_pad"], ww=pr["ww"])
     D_exp = _pack_expected(jnp.asarray(pr["predictE"]),
                            jnp.asarray(pr["n"]), pr["num"], pr["Xp"],
                            pr["e_lo"], pr["x_pad"], pr["ww"])
-    return D_raw, D_bal, D_exp
+    npix_d = jnp.asarray(pr["npix"], jnp.int32)
+    if pr.get("band_keep") is not None:
+        ep, xp_, vp = derive_pixels_masked(
+            row_d, d_d, jnp.asarray(pr["band_keep"]), npix_d,
+            ww=pr["ww"], dmax=pr["dmax"], P2=pr["P2"])
+    else:
+        ep, xp_, vp = derive_pixels(row_d, d_d, npix_d, ww=pr["ww"],
+                                    dmax=pr["dmax"], P2=pr["P2"])
+    return D_raw, D_bal, D_exp, ep, xp_, vp
 
 
 def _escalation_fn(batched: bool):
@@ -374,10 +405,7 @@ def pcaller_chrom_coo(rows, cols, vals, weights, n: int, res: int, params,
     ww, pw, maxww, num = pr["ww"], pr["pw"], pr["maxww"], pr["num"]
 
     if packed:
-        D_raw, D_bal, D_exp = _packed_inputs(pr)
-        epad_d = jnp.asarray(pr["epad"])
-        xpad_d = jnp.asarray(pr["xpad"].astype(np.int32))
-        vpad_d = jnp.asarray(pr["vpad"])
+        D_raw, D_bal, D_exp, epad_d, xpad_d, vpad_d = _packed_inputs(pr)
         resolved, bsk, bek, bsy, bey = _escalation_fn(False)(
             D_raw, D_bal, D_exp, epad_d, xpad_d, vpad_d,
             ww, maxww, pw, num, pr["e_lo"], pr["x_pad"])
@@ -421,10 +449,10 @@ def pcaller_multi(inputs: dict, res: int, params, allelic: bool = False,
         D_bal = jnp.stack([p[1] for p in packed])
         D_exp = jnp.stack([p[2] for p in packed])
         pr0 = preps[chros[0]]
-        epad = jnp.asarray(np.stack([preps[c]["epad"] for c in chros]))
-        xpad = jnp.asarray(np.stack(
-            [preps[c]["xpad"].astype(np.int32) for c in chros]))
-        vpad = jnp.asarray(np.stack([preps[c]["vpad"] for c in chros]))
+        # pixel arrays were derived on device by _packed_inputs
+        epad = jnp.stack([p[3] for p in packed])
+        xpad = jnp.stack([p[4] for p in packed])
+        vpad = jnp.stack([p[5] for p in packed])
         resolved, bsk, bek, bsy, bey = _escalation_fn(True)(
             D_raw, D_bal, D_exp, epad, xpad, vpad,
             pr0["ww"], pr0["maxww"], pr0["pw"], pr0["num"],

@@ -14,6 +14,7 @@ run to convergence is the equivalent fixed point.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -302,24 +303,29 @@ def _bands_from_coo(rows, cols, vals, N: int, w: int, local_bin: int):
     return up, down, cnt
 
 
+@functools.partial(jax.jit, static_argnames=("local_bin", "test_type"))
+def _gap_di_batch(upb, downb, cntb, ns, *, local_bin: int, test_type: str):
+    """Batched gap mask + DI.  Module-level jit: defining this as a closure
+    inside _di_batched created a fresh wrapper per run_tads call, which
+    recompiled every size bucket on every call (~8.7 s of the 22 s warm
+    TAD stage at full hg19 scale)."""
+    gaps = jax.vmap(lambda c, n: tad_gap_mask_counts(c, n, local_bin))(
+        cntb, ns)
+    # Data_preprocess forces bins 0 and n-1 into the gap set before DI
+    N = cntb.shape[-1]
+    idx = jnp.arange(N)[None, :]
+    forced = gaps | (idx == 0) | (idx == ns[:, None] - 1)
+    di = jax.vmap(lambda u, dn, g, n: directionality_index_band(
+        u, dn, g, n, test_type))(upb, downb, forced, ns)
+    return forced, di
+
+
 def _di_batched(reader: CoolerReader, chroms, balance: bool, res: int,
                 min_tad: int, window: int, test_type: str):
     """Gap + DI for all chromosomes in one vmapped dispatch per size group
     (segment extraction stays host-side)."""
     local_bin = int(min_tad / res)
     w = int(window / res)
-
-    @jax.jit
-    def gap_di_batch(upb, downb, cntb, ns):
-        gaps = jax.vmap(lambda c, n: tad_gap_mask_counts(c, n, local_bin))(
-            cntb, ns)
-        # Data_preprocess forces bins 0 and n-1 into the gap set before DI
-        N = cntb.shape[-1]
-        idx = jnp.arange(N)[None, :]
-        forced = gaps | (idx == 0) | (idx == ns[:, None] - 1)
-        di = jax.vmap(lambda u, dn, g, n: directionality_index_band(
-            u, dn, g, n, test_type))(upb, downb, forced, ns)
-        return forced, di
 
     sizes = {}
     for c in chroms:
@@ -347,11 +353,12 @@ def _di_batched(reader: CoolerReader, chroms, balance: bool, res: int,
                 downs.append(dn)
                 cnts.append(cnt)
                 ns.append(sizes[c])
-            gaps_b, di_b = gap_di_batch(
+            gaps_b, di_b = _gap_di_batch(
                 jnp.asarray(np.stack(ups)), jnp.asarray(np.stack(downs)),
-                jnp.asarray(np.stack(cnts)), jnp.asarray(np.asarray(ns)))
-            gaps_h = np.asarray(gaps_b)
-            di_h = np.asarray(di_b)
+                jnp.asarray(np.stack(cnts)), jnp.asarray(np.asarray(ns)),
+                local_bin=local_bin, test_type=test_type)
+            # one round trip for both (tunnel latency is per transfer)
+            gaps_h, di_h = jax.device_get((gaps_b, di_b))
             for k, c in enumerate(sub):
                 n = ns[k]
                 gap = np.flatnonzero(gaps_h[k, :n])

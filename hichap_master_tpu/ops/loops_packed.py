@@ -51,6 +51,70 @@ def _pack_coo_core(rows, cols, vals, B: int, Xp: int, e_lo: int,
     return D.at[er, xr].add(jnp.where(ok, vals, 0.0))
 
 
+@functools.partial(jax.jit, static_argnames=("B", "Xp", "e_lo", "x_pad",
+                                             "ww"))
+def pack_raw_bal(row, d, bv, w, *, B: int, Xp: int, e_lo: int, x_pad: int,
+                 ww: int):
+    """Packed raw + balanced band maps from the SLIM band COO.
+
+    Upload-minimal form of two ``pack_coo`` calls: the host ships only
+    (row int32, diagonal uint8/uint16, raw value f32) plus the per-bin
+    balance weights [n] (NaN at filtered bins, cooler semantics); the
+    balanced values ``bv * w[x] * w[x+d]`` (NaN→0) are computed on device.
+    Raw keeps d > 0 (diagonal removed), balanced keeps d >= ww — the same
+    masks models/loops._packed_inputs applied host-side.
+    """
+    e = d.astype(jnp.int32)
+    x = row
+    ok = e < B  # e >= 0 by construction (unsigned diagonal)
+    er = jnp.where(ok, e + e_lo, 0)
+    xr = jnp.where(ok, x + x_pad, 0)
+    base = jnp.zeros((B + 2 * e_lo, Xp), jnp.float32)
+    nmax = w.shape[0] - 1
+    wv = bv * w[jnp.clip(x, 0, nmax)] * w[jnp.clip(x + e, 0, nmax)]
+    wv = jnp.nan_to_num(wv)
+    D_raw = base.at[er, xr].add(jnp.where(ok & (e > 0), bv, 0.0))
+    D_bal = base.at[er, xr].add(jnp.where(ok & (e >= ww), wv, 0.0))
+    return D_raw, D_bal
+
+
+@functools.partial(jax.jit, static_argnames=("ww", "dmax", "P2"))
+def derive_pixels(row, d, npix, *, ww: int, dmax: int, P2: int):
+    """Candidate pixel arrays (epad, xpad, vpad) derived ON DEVICE from
+    the already-uploaded slim band COO instead of uploading three more
+    [P2] arrays.  Selection d ∈ [ww, dmax] preserves COO order (a stable
+    index sort), so the result matches the host arrays element-for-element
+    (models/loops._pcaller_prep).  Band padding rows carry d = 0 < ww and
+    are never selected."""
+    cap = row.shape[0]
+    e = d.astype(jnp.int32)
+    sel = (e >= ww) & (e <= dmax)
+    idx = jnp.sort(jnp.where(sel, jnp.arange(cap, dtype=jnp.int32),
+                             cap))[:P2]
+    safe = jnp.clip(idx, 0, cap - 1)
+    vp = jnp.arange(P2, dtype=jnp.int32) < npix
+    ep = jnp.where(vp, e[safe], 0)
+    xp = jnp.where(vp, row[safe], 0)
+    return ep, xp, vp
+
+
+@functools.partial(jax.jit, static_argnames=("ww", "dmax", "P2"))
+def derive_pixels_masked(row, d, keep, npix, *, ww: int, dmax: int,
+                         P2: int):
+    """derive_pixels with an extra host-computed keep mask over the band
+    order (the allelic pre-filter, models/loops._allelic_prefilter)."""
+    cap = row.shape[0]
+    e = d.astype(jnp.int32)
+    sel = (e >= ww) & (e <= dmax) & keep
+    idx = jnp.sort(jnp.where(sel, jnp.arange(cap, dtype=jnp.int32),
+                             cap))[:P2]
+    safe = jnp.clip(idx, 0, cap - 1)
+    vp = jnp.arange(P2, dtype=jnp.int32) < npix
+    ep = jnp.where(vp, e[safe], 0)
+    xp = jnp.where(vp, row[safe], 0)
+    return ep, xp, vp
+
+
 @functools.partial(jax.jit, static_argnames=("B", "Xp", "e_lo", "x_pad"))
 def pack_coo(rows, cols, vals, B: int, Xp: int, e_lo: int, x_pad: int):
     """Scatter upper-band COO into the packed layout [e_lo+B+e_hi, Xp].
