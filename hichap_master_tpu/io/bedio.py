@@ -28,42 +28,76 @@ _TAG_MAP = {"Both": TAG_BOTH, "R1": TAG_R1, "R2": TAG_R2}
 
 
 def _chrom_index(raw: pd.Series, label_to_idx: Dict[str, int]) -> np.ndarray:
-    lab = raw.astype(str).str.replace("^chr", "", regex=True)
-    return lab.map(label_to_idx).fillna(-1).astype(np.int32).to_numpy()
+    """Chromosome labels → registry indices (-1 = unknown), matching the
+    reference's tolerance of both ``chr1`` and ``1`` spellings.  The lookup
+    runs per CATEGORY (a few dozen distinct labels), not per row — on
+    multi-million-row beds the old per-element regex replace + map was a
+    measurable slice of ingestion."""
+    cat = raw.astype("category")
+    table = np.asarray(
+        [label_to_idx.get(c[3:] if isinstance(c, str) and c.startswith("chr")
+                          else c, -1)
+         for c in cat.cat.categories], np.int32)
+    codes = cat.cat.codes.to_numpy()
+    if table.size == 0:
+        return np.full(codes.size, -1, np.int32)
+    return np.where(codes >= 0, table[np.clip(codes, 0, None)],
+                    np.int32(-1))
 
 
 def label_index(genome: Genome) -> Dict[str, int]:
     return {c: i for i, c in enumerate(genome.labels)}
 
 
+# valid-bed rows are ragged (15 or 23 tab-separated columns); the pandas C
+# engine requires ``names`` to match the WIDEST row in the block, so each
+# block sniffs its width (a tab count) before parsing.  Only columns
+# 1/6/8/13 are consumed (matrixBuilding.py:575-586).
+_VALID_BED_USECOLS = [1, 6, 8, 13]
+
+
+def _read_valid_block(lines: List[str], width: int):
+    import io as _io
+
+    return pd.read_csv(_io.StringIO("".join(lines)), sep="\t", header=None,
+                       names=list(range(width)),
+                       usecols=_VALID_BED_USECOLS,
+                       dtype={1: "category", 6: np.int64, 8: "category",
+                              13: np.int64},
+                       engine="c")
+
+
+def _parse_valid_lines(lines: List[str], idx):
+    """Parse one block of valid-bed lines with the pandas C reader (~3x
+    the per-line Python split loop this replaced).
+
+    The width is sniffed from the first line only — real files are
+    uniform; the C engine raises if a later row is WIDER than ``names``,
+    in which case the block re-parses at its true maximum width (short
+    rows just pad with NaN, never in the 4 consumed columns)."""
+    width = max(15, lines[0].count("\t") + 1)
+    try:
+        df = _read_valid_block(lines, width)
+    except pd.errors.ParserError:
+        width = max(15, max(ln.count("\t") for ln in lines) + 1)
+        df = _read_valid_block(lines, width)
+    c1 = _chrom_index(df[1], idx)
+    c2 = _chrom_index(df[8], idx)
+    keep = (c1 >= 0) & (c2 >= 0)
+    return (c1[keep], df[6].to_numpy()[keep],
+            c2[keep], df[13].to_numpy()[keep])
+
+
 def read_valid_bed(paths: Sequence[str], genome: Genome):
     """Concatenate valid-bed files → (c1, p1, c2, p2) filtered to the genome."""
-    c1s, p1s, c2s, p2s = [], [], [], []
-    idx = label_index(genome)
-    for path in paths:
-        if os.path.getsize(path) == 0:
-            continue
-        # rows are ragged (15 or 23 columns): split only the needed prefix
-        raw_c1, raw_p1, raw_c2, raw_p2 = [], [], [], []
-        with open(path) as f:
-            for line in f:
-                fields = line.split("\t", 14)
-                raw_c1.append(fields[1])
-                raw_p1.append(fields[6])
-                raw_c2.append(fields[8])
-                raw_p2.append(fields[13])
-        c1 = _chrom_index(pd.Series(raw_c1), idx)
-        c2 = _chrom_index(pd.Series(raw_c2), idx)
-        keep = (c1 >= 0) & (c2 >= 0)
-        c1s.append(c1[keep])
-        c2s.append(c2[keep])
-        p1s.append(np.asarray(raw_p1, dtype=np.int64)[keep])
-        p2s.append(np.asarray(raw_p2, dtype=np.int64)[keep])
-    if not c1s:
+    cols = [[], [], [], []]
+    for part in iter_valid_bed(paths, genome):
+        for acc, a in zip(cols, part):
+            acc.append(a)
+    if not cols[0]:
         z = np.zeros(0, np.int32)
         return z, z.astype(np.int64), z.copy(), z.astype(np.int64)
-    return (np.concatenate(c1s), np.concatenate(p1s),
-            np.concatenate(c2s), np.concatenate(p2s))
+    return tuple(np.concatenate(c) for c in cols)
 
 
 def read_allelic_bed(paths: Sequence[str], genome: Genome, with_tag: bool):
@@ -107,7 +141,8 @@ def read_allelic_bed(paths: Sequence[str], genome: Genome, with_tag: bool):
 def iter_valid_bed(paths: Sequence[str], genome: Genome,
                    read_bytes: int = 1 << 25):
     """Stream (c1, p1, c2, p2) column chunks from valid-bed files without
-    loading them into memory (production inputs are tens of GB)."""
+    loading them into memory (production inputs are tens of GB); the
+    pandas C engine parses each block."""
     idx = label_index(genome)
     for path in paths:
         if os.path.getsize(path) == 0:
@@ -117,15 +152,7 @@ def iter_valid_bed(paths: Sequence[str], genome: Genome,
                 lines = f.readlines(read_bytes)
                 if not lines:
                     break
-                fields = [ln.split("\t", 14) for ln in lines]
-                c1 = pd.Series([r[1] for r in fields])
-                c2 = pd.Series([r[8] for r in fields])
-                c1 = _chrom_index(c1, idx)
-                c2 = _chrom_index(c2, idx)
-                keep = (c1 >= 0) & (c2 >= 0)
-                p1 = np.asarray([r[6] for r in fields], np.int64)[keep]
-                p2 = np.asarray([r[13] for r in fields], np.int64)[keep]
-                yield c1[keep], p1, c2[keep], p2
+                yield _parse_valid_lines(lines, idx)
 
 
 def iter_allelic_bed(paths: Sequence[str], genome: Genome, with_tag: bool,

@@ -133,9 +133,45 @@ def _offsets_array(genome: Genome, res: int) -> np.ndarray:
     return np.asarray([offs[c][0] for c in genome.labels], dtype=np.int64)
 
 
+# Host-bincount binning policy: XLA scatter-add serializes per update on
+# TPU (measured ~2M contacts/s over [S,S]/[C,N,N] targets), while
+# np.bincount over flattened bin pairs runs O(cells) at ~31M cells/s on
+# this host (scripts/perf_ingest.py).  The host path therefore wins only
+# when the target is DENSE relative to the contact count — measured
+# crossover cells ≈ 15x contacts, applied with margin — and must also fit
+# host memory.  HICHAP_HOST_BINCOUNT=0 forces the device scatter path.
+_HOST_BINCOUNT_CELLS = 1 << 28
+_HOST_BINCOUNT_CELLS_PER_CONTACT = 8
+
+
+def _host_bincount_ok(cells: int, contacts: int) -> bool:
+    return (os.environ.get("HICHAP_HOST_BINCOUNT", "1") != "0"
+            and cells <= _HOST_BINCOUNT_CELLS
+            and cells <= _HOST_BINCOUNT_CELLS_PER_CONTACT * max(contacts, 1))
+
+
+def _sym_from_counts(C: np.ndarray) -> np.ndarray:
+    """Symmetric matrix from directed counts, diagonal counted once
+    (matrixBuilding.py:588-592 semantics)."""
+    M = (C + np.swapaxes(C, -1, -2)).astype(np.float32)
+    d = np.arange(C.shape[-1])
+    M[..., d, d] -= C[..., d, d]
+    return M
+
+
 def accumulate_genomewide(c1, p1, c2, p2, genome: Genome, res: int,
                           acc: np.ndarray | None = None) -> np.ndarray:
     S = genome.total_bins(res)
+    if _host_bincount_ok(S * S, len(c1)):
+        offs = _offsets_array(genome, res)
+        b1 = p1 // res + offs[c1]
+        b2 = p2 // res + offs[c2]
+        # XLA drops out-of-bounds scatter updates; mirror that here
+        ok = (b1 >= 0) & (b1 < S) & (b2 >= 0) & (b2 < S)
+        C = np.bincount(b1[ok].astype(np.int64) * S + b2[ok],
+                        minlength=S * S).reshape(S, S)
+        M = _sym_from_counts(C)
+        return M if acc is None else np.asarray(acc) + M
     offsets = jnp.asarray(_offsets_array(genome, res))
     dev = jnp.zeros((S, S), jnp.float32) if acc is None else jnp.asarray(acc)
     for (cc1, pp1, cc2, pp2), valid in stream_chunks([c1, p1, c2, p2], CHUNK):
@@ -165,6 +201,24 @@ def accumulate_intra(c1, p1, c2, p2, genome: Genome, res: int,
         gc = gpos[c1[sel]]
         gp1 = p1[sel]
         gp2 = p2[sel]
+        cells = len(group) * N * N
+        if tags is None and _host_bincount_ok(cells, int(sel.sum())):
+            b1 = gp1 // res
+            b2 = gp2 // res
+            # XLA drops out-of-bounds scatter updates; mirror that here
+            ok = (b1 >= 0) & (b1 < N) & (b2 >= 0) & (b2 < N)
+            gci, b1, b2 = gc[ok], b1[ok], b2[ok]
+            C = np.bincount((gci.astype(np.int64) * N + b1) * N + b2,
+                            minlength=cells).reshape(len(group), N, N)
+            M = _sym_from_counts(C)
+            for gi, c in enumerate(group):
+                m = M[gi, : nb[c], : nb[c]]
+                prev = init.get(c) if init is not None else None
+                if prev is not None:
+                    m = m.copy()
+                    m[: prev.shape[0], : prev.shape[1]] += prev
+                out[c] = m
+            continue
         dev = jnp.zeros((len(group), N, N), jnp.float32)
         if init is not None:
             base = np.zeros((len(group), N, N), np.float32)

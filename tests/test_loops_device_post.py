@@ -92,3 +92,33 @@ def test_device_post_gap_filter(params, monkeypatch):
     assert all(p[0] // RES < gx - 5 or p[0] // RES > gx + 5
                or not (gx - 5 <= p[1] // RES <= gx + 5)
                for p in dev2[0])
+
+
+def test_device_post_overflow_falls_back(params, monkeypatch):
+    """When survivors exceed the compaction buffer the device path must
+    return None internally and the host path must produce the result."""
+    from hichap_master_tpu.models import loops as L
+
+    rng = np.random.default_rng(11)
+    n = 512
+    band = min(params["maxapart"] // RES + params["maxww"] + 1, n - 8)
+    rows, cols, vals = _chrom(rng, n, band)
+    host = pcaller_chrom_coo(rows, cols, vals, np.ones(n), n, RES, params)
+    assert host[0]
+
+    monkeypatch.setenv("HICHAP_FORCE_DEVICE_POST", "1")
+    calls = {"n": 0}
+    orig = L._post_device
+
+    def tiny_cap(pr, *a, **k):
+        calls["n"] += 1
+        # shrink the buffer below the survivor count by lying about P2
+        pr = dict(pr, P2=1)
+        out = orig(pr, *a, **k)
+        assert out is None, "cap_out=1 must overflow"
+        return out
+
+    monkeypatch.setattr(L, "_post_device", tiny_cap)
+    dev = pcaller_chrom_coo(rows, cols, vals, np.ones(n), n, RES, params)
+    assert calls["n"] == 1
+    assert set(dev[0]) == set(host[0])

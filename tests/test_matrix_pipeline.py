@@ -182,3 +182,33 @@ def test_haplotype_imputation_adds_contacts(tmp_path, rng, genome):
     im = data["Imputated_Whole"][100_000]
     assert im.sum() > u.sum()  # singles added
     assert u.sum() == pytest.approx(2 * 400 + 2 * 1 + 2 * 2, abs=450)
+
+
+def test_bincount_and_scatter_paths_agree(monkeypatch):
+    """The host-bincount fast path and the chunked device scatter path must
+    produce identical matrices (same symmetric/diagonal semantics)."""
+    from hichap_master_tpu.core import Genome
+    from hichap_master_tpu.pipeline.matrix import (accumulate_genomewide,
+                                                   accumulate_intra)
+
+    rng = np.random.default_rng(7)
+    g = Genome({"1": 900_000, "2": 700_000})
+    n = 5000
+    c1 = rng.integers(0, 2, n).astype(np.int32)
+    c2 = np.where(rng.random(n) < 0.7, c1,
+                  rng.integers(0, 2, n)).astype(np.int32)
+    sizes = np.asarray([900_000, 700_000])
+    p1 = (rng.random(n) * (sizes[c1] - 1)).astype(np.int64)
+    p2 = np.where(rng.random(n) < 0.3, p1,
+                  (rng.random(n) * (sizes[c2] - 1)).astype(np.int64))
+    res = 100_000
+
+    gw_h = accumulate_genomewide(c1, p1, c2, p2, g, res)
+    intra_h = accumulate_intra(c1, p1, c2, p2, g, res)
+    monkeypatch.setenv("HICHAP_HOST_BINCOUNT", "0")
+    gw_d = accumulate_genomewide(c1, p1, c2, p2, g, res)
+    intra_d = accumulate_intra(c1, p1, c2, p2, g, res)
+    np.testing.assert_array_equal(gw_h, gw_d)
+    assert set(intra_h) == set(intra_d)
+    for c in intra_h:
+        np.testing.assert_array_equal(intra_h[c], intra_d[c])
