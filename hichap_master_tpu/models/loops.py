@@ -353,6 +353,50 @@ def _packed_inputs(pr: dict):
     return D_raw, D_bal, D_exp, ep, xp_, vp
 
 
+@functools.partial(jax.jit, static_argnames=("B", "Xp", "e_lo", "x_pad",
+                                             "ww"))
+def _pack_expected_batch(pE, ns, B: int, Xp: int, e_lo: int, x_pad: int,
+                         ww: int):
+    return jax.vmap(
+        lambda p, n: _pack_expected(p, n, B, Xp, e_lo, x_pad, ww))(pE, ns)
+
+
+def _packed_inputs_batch(prs: List[dict]):
+    """_packed_inputs for a same-shape chromosome group: each stage is ONE
+    batched dispatch (per-chromosome eager dispatches cost ~0.15 s of
+    round-trip latency each on the tunneled link).  Returns stacked
+    (D_raw, D_bal, D_exp, epad, xpad, vpad)."""
+    from ..ops.loops_packed import (derive_pixels_batch,
+                                    derive_pixels_masked_batch,
+                                    pack_raw_bal_batch)
+
+    pr0 = prs[0]
+    rows = jnp.asarray(np.stack([pr["br"] for pr in prs]))
+    ds = jnp.asarray(np.stack([pr["bd"] for pr in prs]))
+    bvs = jnp.asarray(np.stack([pr["bv"] for pr in prs]))
+    maxn = max(pr["n"] for pr in prs)
+    w = np.ones((len(prs), maxn), np.float32)
+    for i, pr in enumerate(prs):
+        w[i, : len(pr["w32"])] = pr["w32"]
+    D_raw, D_bal = pack_raw_bal_batch(
+        rows, ds, bvs, jnp.asarray(w), B=pr0["num"], Xp=pr0["Xp"],
+        e_lo=pr0["e_lo"], x_pad=pr0["x_pad"], ww=pr0["ww"])
+    pE = jnp.asarray(np.stack([pr["predictE"] for pr in prs]))
+    ns = jnp.asarray(np.asarray([pr["n"] for pr in prs], np.int32))
+    D_exp = _pack_expected_batch(pE, ns, pr0["num"], pr0["Xp"],
+                                 pr0["e_lo"], pr0["x_pad"], pr0["ww"])
+    npix = jnp.asarray(np.asarray([pr["npix"] for pr in prs], np.int32))
+    if pr0.get("band_keep") is not None:
+        keeps = jnp.asarray(np.stack([pr["band_keep"] for pr in prs]))
+        ep, xp_, vp = derive_pixels_masked_batch(
+            rows, ds, keeps, npix, ww=pr0["ww"], dmax=pr0["dmax"],
+            P2=pr0["P2"])
+    else:
+        ep, xp_, vp = derive_pixels_batch(rows, ds, npix, ww=pr0["ww"],
+                                          dmax=pr0["dmax"], P2=pr0["P2"])
+    return D_raw, D_bal, D_exp, ep, xp_, vp
+
+
 def _escalation_fn(batched: bool):
     """Map-space escalation dispatch:
 
@@ -444,27 +488,24 @@ def pcaller_multi(inputs: dict, res: int, params, allelic: bool = False,
 
     results = {}
     for _key, chros in groups.items():
-        packed = [_packed_inputs(preps[c]) for c in chros]
-        D_raw = jnp.stack([p[0] for p in packed])
-        D_bal = jnp.stack([p[1] for p in packed])
-        D_exp = jnp.stack([p[2] for p in packed])
-        pr0 = preps[chros[0]]
-        # pixel arrays were derived on device by _packed_inputs
-        epad = jnp.stack([p[3] for p in packed])
-        xpad = jnp.stack([p[4] for p in packed])
-        vpad = jnp.stack([p[5] for p in packed])
+        prs = [preps[c] for c in chros]
+        pr0 = prs[0]
+        D_raw, D_bal, D_exp, epad, xpad, vpad = _packed_inputs_batch(prs)
         resolved, bsk, bek, bsy, bey = _escalation_fn(True)(
             D_raw, D_bal, D_exp, epad, xpad, vpad,
             pr0["ww"], pr0["maxww"], pr0["pw"], pr0["num"],
             pr0["e_lo"], pr0["x_pad"])
         if _use_device_post(pr0):
-            # keep everything on device; _pcaller_post downloads only
-            # compacted survivors per chromosome
+            # everything stays on device; one batched post per group and
+            # one host fetch of compacted survivors
+            got = _post_device_batch(prs, chros, resolved, bsk, bek, bsy,
+                                     bey, res, (epad, xpad, vpad, D_raw))
             for i, chro in enumerate(chros):
-                results[chro] = _pcaller_post(
-                    preps[chro], resolved[i], bsk[i], bek[i], bsy[i],
-                    bey[i], res,
-                    dev=(epad[i], xpad[i], vpad[i], D_raw[i]))
+                r = got[chro]
+                if r is None:  # compaction overflow: host path, this chrom
+                    r = _pcaller_post(preps[chro], resolved[i], bsk[i],
+                                      bek[i], bsy[i], bey[i], res)
+                results[chro] = r
         else:
             resolved = np.asarray(resolved)
             bsk, bek = np.asarray(bsk), np.asarray(bek)
@@ -575,6 +616,65 @@ def _post_device(pr: dict, resolved, bsk, bek, bsy, bey, res: int, dev):
     common = set(out["K"]) & set(out["Y"])
     return ({pos: out["K"][pos] for pos in common},
             {pos: out["Y"][pos] for pos in common})
+
+
+def _post_device_batch(prs: List[dict], chros, resolved, bsk, bek, bsy,
+                       bey, res: int, dev) -> dict:
+    """Batched _post_device for a same-shape group: one dispatch per stage
+    and ONE host fetch for the whole group.  Returns {chrom: result or
+    None} — None marks a compaction overflow (caller falls back to the
+    host path for that chromosome only)."""
+    from ..ops.stats_jax import loop_post_compact_batch
+
+    epad, xpad, vpad, D_raw = dev
+    pr0 = prs[0]
+    G = len(prs)
+    maxn = max(pr["N"] for pr in prs)
+    biases = np.zeros((G, maxn + 1), np.float32)
+    cs = np.zeros((G, maxn + 1), np.int32)
+    for i, pr in enumerate(prs):
+        nb = len(pr["biases"])
+        biases[i, :nb] = pr["biases"]
+        gap_ind = np.zeros(pr["N"] + 1, np.int64)
+        if pr["gaps"]:
+            gap_ind[np.fromiter(pr["gaps"], int, len(pr["gaps"]))] = 1
+        c = np.concatenate([[0], np.cumsum(gap_ind[:-1])]).astype(np.int32)
+        cs[i, : c.size] = c
+        cs[i, c.size:] = c[-1]
+    pE = np.stack([pr["predictE"] for pr in prs])
+    ns = np.asarray([pr["N"] for pr in prs], np.int32)
+    cap_out = min(pr0["P2"], 1 << 16)
+
+    outs = loop_post_compact_batch(
+        resolved, bsk, bek, bsy, bey, epad, xpad, vpad, D_raw,
+        jnp.asarray(pE), jnp.asarray(biases), jnp.asarray(cs),
+        jnp.asarray(ns), jnp.asarray(pr0["sig"], jnp.float32),
+        ww=pr0["ww"], e_off=pr0["e_lo"], x_off=pr0["x_pad"],
+        cap_out=cap_out)
+    host = jax.device_get(outs)
+
+    results = {}
+    for i, chro in enumerate(chros):
+        out, ok = {}, True
+        for fl, (cnt, _idx, xi, yi, o, fold, pv, qv) in zip("KY", host):
+            c = int(cnt[i])
+            if c > cap_out:
+                ok = False
+                break
+            out[fl] = {
+                (int(a) * res, int(b) * res): (float(ov), float(fv),
+                                               float(pvv), float(qvv))
+                for a, b, ov, fv, pvv, qvv in zip(
+                    xi[i][:c], yi[i][:c], o[i][:c], fold[i][:c],
+                    pv[i][:c], qv[i][:c])
+            }
+        if not ok:
+            results[chro] = None
+            continue
+        common = set(out["K"]) & set(out["Y"])
+        results[chro] = ({pos: out["K"][pos] for pos in common},
+                         {pos: out["Y"][pos] for pos in common})
+    return results
 
 
 def _pcaller_post(pr: dict, resolved, bsk, bek, bsy, bey, res: int,

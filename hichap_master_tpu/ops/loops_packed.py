@@ -115,6 +115,36 @@ def derive_pixels_masked(row, d, keep, npix, *, ww: int, dmax: int,
     return ep, xp, vp
 
 
+@functools.partial(jax.jit, static_argnames=("B", "Xp", "e_lo", "x_pad",
+                                             "ww"))
+def pack_raw_bal_batch(row, d, bv, w, *, B: int, Xp: int, e_lo: int,
+                       x_pad: int, ww: int):
+    """pack_raw_bal over a leading chromosome axis (one dispatch per
+    same-shape group instead of one per chromosome)."""
+    def one(r, dd, v, wv):
+        return pack_raw_bal(r, dd, v, wv, B=B, Xp=Xp, e_lo=e_lo,
+                            x_pad=x_pad, ww=ww)
+
+    return jax.vmap(one)(row, d, bv, w)
+
+
+@functools.partial(jax.jit, static_argnames=("ww", "dmax", "P2"))
+def derive_pixels_batch(row, d, npix, *, ww: int, dmax: int, P2: int):
+    def one(r, dd, n):
+        return derive_pixels(r, dd, n, ww=ww, dmax=dmax, P2=P2)
+
+    return jax.vmap(one)(row, d, npix)
+
+
+@functools.partial(jax.jit, static_argnames=("ww", "dmax", "P2"))
+def derive_pixels_masked_batch(row, d, keep, npix, *, ww: int, dmax: int,
+                               P2: int):
+    def one(r, dd, k, n):
+        return derive_pixels_masked(r, dd, k, n, ww=ww, dmax=dmax, P2=P2)
+
+    return jax.vmap(one)(row, d, keep, npix)
+
+
 @functools.partial(jax.jit, static_argnames=("B", "Xp", "e_lo", "x_pad"))
 def pack_coo(rows, cols, vals, B: int, Xp: int, e_lo: int, x_pad: int):
     """Scatter upper-band COO into the packed layout [e_lo+B+e_hi, Xp].

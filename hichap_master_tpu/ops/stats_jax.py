@@ -128,6 +128,66 @@ def _flavor_compact(qv, pv, val, gk, o, e, xpad, yp, sig, *, cap_out: int):
             o[safe], fold[safe], pv[safe], qv[safe])
 
 
+@functools.partial(jax.jit, static_argnames=("ww", "e_off", "x_off"))
+def _post_prep_batch(resolved, bek, bey, epad, xpad, vpad, o_map, pE,
+                     biases, gap_cs, ns, *, ww: int, e_off: int,
+                     x_off: int):
+    def one(rv, ek, ey, ep, xp, vp, om, pe, bi, gc, n):
+        return _post_prep(rv, ek, ey, ep, xp, vp, om, pe, bi, gc, n,
+                          ww=ww, e_off=e_off, x_off=x_off)
+
+    return jax.vmap(one)(resolved, bek, bey, epad, xpad, vpad, o_map, pE,
+                         biases, gap_cs, ns)
+
+
+def poisson_bh_chunked_jax_batch(o, e, valid):
+    """poisson_bh_chunked_jax over a leading chromosome axis.
+
+    Deliberately a Python loop over the group, not a vmapped jit: the
+    vmapped sort-heavy BH graph at [G, millions] OOM-killed the remote
+    TPU compiler, while the per-chromosome program is the one already
+    compiled everywhere else.  Launches are async, so the loop costs
+    dispatch overhead only."""
+    outs = [poisson_bh_chunked_jax(o[i], e[i], valid[i])
+            for i in range(o.shape[0])]
+    return (jnp.stack([p for p, _ in outs]),
+            jnp.stack([q for _, q in outs]))
+
+
+@functools.partial(jax.jit, static_argnames=("cap_out",))
+def _flavor_compact_batch(qv, pv, val, gk, o, e, xpad, yp, sig, *,
+                          cap_out: int):
+    def one(q, p, v, g, oo, ee, xp_, yy):
+        return _flavor_compact(q, p, v, g, oo, ee, xp_, yy, sig,
+                               cap_out=cap_out)
+
+    return jax.vmap(one)(qv, pv, val, gk, o, e, xpad, yp)
+
+
+def loop_post_compact_batch(resolved, bsk, bek, bsy, bey, epad, xpad, vpad,
+                            o_map, pE, biases, gap_cs, ns, sig, *,
+                            ww: int, e_off: int, x_off: int, cap_out: int):
+    """``loop_post_compact`` for a whole same-shape chromosome group in
+    ONE dispatch per stage and (at the caller) one host fetch — per-call
+    device round trips over the tunneled link were ~0.15 s each, which at
+    ~7 calls x 23 chromosomes dominated the post stage.  All leading axes
+    are the group axis; ``ns`` is the per-chromosome bin count.  Same
+    split-jit composition (not one fused graph) as the single-chromosome
+    path, for the same compile-time reason."""
+    o, em, bias_xy, mask, gk = _post_prep_batch(
+        resolved, bek, bey, epad, xpad, vpad, o_map, pE, biases, gap_cs,
+        ns, ww=ww, e_off=e_off, x_off=x_off)
+    yp = epad + xpad
+
+    def flavor(bs, be):
+        e, val = _flavor_e(bs, be, em, bias_xy, mask)  # elementwise: batches
+        pv, qv = poisson_bh_chunked_jax_batch(o, e, val)
+        return _flavor_compact_batch(qv, pv, val, gk, o, e, xpad, yp, sig,
+                                     cap_out=cap_out)
+
+    return flavor(bsk, bek), flavor(bsy, bey)
+
+
 def loop_post_compact(resolved, bsk, bek, bsy, bey, epad, xpad, vpad,
                       o_map, pE, biases, gap_cs, n, sig, *,
                       ww: int, e_off: int, x_off: int, cap_out: int):
