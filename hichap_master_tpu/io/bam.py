@@ -173,18 +173,20 @@ def write_bam(path: str, records: List[AlnRecord],
         nb = name.encode() + b"\x00"
         header += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
 
-    blocks = []
+    # BGZF caps each block's UNCOMPRESSED payload at 64 KiB, but a BAM
+    # record may legally span blocks — slice the byte stream at a fixed
+    # payload size regardless of record boundaries (a single >64 KiB
+    # record previously overflowed the block and crashed struct.pack).
+    _PAYLOAD = 60_000
     buf = bytearray(header)
-    for r in records:
-        buf += _encode_record(r, ref_index)
-        if len(buf) >= 60_000:  # keep blocks under the 64 KiB BGZF cap
-            blocks.append(_bgzf_block(bytes(buf)))
-            buf = bytearray()
-    if buf:
-        blocks.append(_bgzf_block(bytes(buf)))
     with open(path, "wb") as f:
-        for b in blocks:
-            f.write(b)
+        for r in records:
+            buf += _encode_record(r, ref_index)
+            while len(buf) >= _PAYLOAD:
+                f.write(_bgzf_block(bytes(buf[:_PAYLOAD])))
+                del buf[:_PAYLOAD]
+        if buf:
+            f.write(_bgzf_block(bytes(buf)))
         f.write(BGZF_EOF)
 
 

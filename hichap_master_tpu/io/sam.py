@@ -139,8 +139,10 @@ def read_sam_sorted_by_name(paths: List[str]) -> List[AlnRecord]:
                     text_paths.append(t)
                 else:
                     text_paths.append(p)
+            # suffix must not look like a chunk input (.sam/.bam): a temp
+            # left by a crash must never be re-discovered as data
             with tempfile.NamedTemporaryFile(
-                    "w", suffix=".sam", delete=False, dir=tmpdir) as tf:
+                    "w", suffix=".merge.tmp", delete=False, dir=tmpdir) as tf:
                 merged = tf.name
             try:
                 sam_sort_merge(text_paths, merged)

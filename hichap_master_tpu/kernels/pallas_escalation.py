@@ -83,12 +83,8 @@ def _donut_const(W, pw: int):
             - _rect(W, -pw, pw, 0, 0))
 
 
-def _donut(W, w, pw: int):
-    return _donut_var(W, w) - _donut_const(W, pw)
-
-
-def _lowerleft(W, w, pw: int):
-    return _rect(W, 1, w, -w, -1) - _rect(W, 1, pw, -pw, -1)
+# full donut/lowerleft = var(w) - const(pw); the kernel body keeps the
+# two parts separate so the pw-consts hoist out of the level loop
 
 
 def _ladder_kernel(wr_l, wr_c, wr_r, wb_l, wb_c, wb_r, we_l, we_c, we_r,

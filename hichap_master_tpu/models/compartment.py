@@ -92,11 +92,12 @@ def select_pc_legacy(cor: np.ndarray, pcs: np.ndarray) -> np.ndarray:
     maximizing Σ|corr(pc, cor-row)|, signed by the un-absed sum.  The
     per-row np.corrcoef loop is evaluated as one centered matvec."""
     select_k, best, direction = 0, 0.0, 1
+    rows_c = cor - cor.mean(axis=1, keepdims=True)   # PC-independent
+    rows_ss = (rows_c ** 2).sum(axis=1)
     for i in range(len(pcs)):
         pc_c = pcs[i] - pcs[i].mean()
-        rows_c = cor - cor.mean(axis=1, keepdims=True)
         num = rows_c @ pc_c
-        den = np.sqrt((rows_c ** 2).sum(axis=1) * (pc_c ** 2).sum())
+        den = np.sqrt(rows_ss * (pc_c ** 2).sum())
         with np.errstate(divide="ignore", invalid="ignore"):
             coef = num / den
         coef[np.isnan(coef)] = 0
@@ -326,7 +327,12 @@ def run_compartment(cooler_path: str, res: int, allelic,
     """
     if selector not in ("new", "legacy"):
         raise ValueError(f"unknown selector {selector!r}")
-    use_legacy = selector == "legacy" and not allelic
+    if selector == "legacy" and allelic:
+        # allelic runs use the supervised selector (Select_Allelic_PC);
+        # silently ignoring 'legacy' would misrepresent what ran
+        raise ValueError("selector='legacy' applies to traditional mode "
+                         "only; allelic runs use the supervised selector")
+    use_legacy = selector == "legacy"
     reader = CoolerReader(cooler_path, res)
     if allelic is False or allelic is None:
         chroms = reader.chromnames

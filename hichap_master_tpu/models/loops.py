@@ -59,23 +59,6 @@ def peaks_parameters(res: int):
     return dict(pw=pw, ww=ww, maxww=20, maxapart=2_000_000, sig=0.05)
 
 
-def lambda_chunks(E: np.ndarray):
-    """Power-of-2^(1/3) λ bins (StructureFind.py:1619-1632)."""
-    if E.size == 0 or E.max() <= 0:
-        return []
-    numbin = int(np.ceil(np.log(E.max()) / np.log(2) * 3 + 1))
-    pool = []
-    for i in range(1, numbin + 1):
-        if i == 1:
-            lv, rv = 0.0, 1.0
-        else:
-            lv = np.power(2, (i - 2) / 3.0)
-            rv = np.power(2, (i - 1) / 3.0)
-        idx = np.where((E > lv) & (E < rv))[0]
-        pool.append((lv, rv, idx))
-    return pool
-
-
 # ------------------------------------------------------- pixel stencils
 @functools.partial(jax.jit, static_argnames=("w", "pw"))
 def _level_at_pixels(S1_raw, S1_exp, S1_bal, xi, yi, w, pw):
@@ -413,7 +396,10 @@ def _escalation_fn(batched: bool):
 
     if jax.default_backend() == "cpu":
         return escalation_packed_batch if batched else escalation_packed
-    if os.environ.get("HICHAP_PALLAS_ESC", "1") != "0":
+    # the fused ladder is a Mosaic (TPU-only) kernel; other accelerators
+    # (GPU) take the XLA map-space path
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("HICHAP_PALLAS_ESC", "1") != "0"):
         from ..kernels.pallas_escalation import escalation_pallas
 
         if not batched:

@@ -78,6 +78,25 @@ def pack_raw_bal(row, d, bv, w, *, B: int, Xp: int, e_lo: int, x_pad: int,
     return D_raw, D_bal
 
 
+def _derive_pixels_core(row, d, keep, npix, *, ww: int, dmax: int,
+                        P2: int):
+    """One body for the masked/unmasked pixel derivations — a drifted
+    duplicate here would silently split the allelic and non-allelic
+    semantics."""
+    cap = row.shape[0]
+    e = d.astype(jnp.int32)
+    sel = (e >= ww) & (e <= dmax)
+    if keep is not None:
+        sel = sel & keep
+    idx = jnp.sort(jnp.where(sel, jnp.arange(cap, dtype=jnp.int32),
+                             cap))[:P2]
+    safe = jnp.clip(idx, 0, cap - 1)
+    vp = jnp.arange(P2, dtype=jnp.int32) < npix
+    ep = jnp.where(vp, e[safe], 0)
+    xp = jnp.where(vp, row[safe], 0)
+    return ep, xp, vp
+
+
 @functools.partial(jax.jit, static_argnames=("ww", "dmax", "P2"))
 def derive_pixels(row, d, npix, *, ww: int, dmax: int, P2: int):
     """Candidate pixel arrays (epad, xpad, vpad) derived ON DEVICE from
@@ -86,16 +105,7 @@ def derive_pixels(row, d, npix, *, ww: int, dmax: int, P2: int):
     index sort), so the result matches the host arrays element-for-element
     (models/loops._pcaller_prep).  Band padding rows carry d = 0 < ww and
     are never selected."""
-    cap = row.shape[0]
-    e = d.astype(jnp.int32)
-    sel = (e >= ww) & (e <= dmax)
-    idx = jnp.sort(jnp.where(sel, jnp.arange(cap, dtype=jnp.int32),
-                             cap))[:P2]
-    safe = jnp.clip(idx, 0, cap - 1)
-    vp = jnp.arange(P2, dtype=jnp.int32) < npix
-    ep = jnp.where(vp, e[safe], 0)
-    xp = jnp.where(vp, row[safe], 0)
-    return ep, xp, vp
+    return _derive_pixels_core(row, d, None, npix, ww=ww, dmax=dmax, P2=P2)
 
 
 @functools.partial(jax.jit, static_argnames=("ww", "dmax", "P2"))
@@ -103,16 +113,7 @@ def derive_pixels_masked(row, d, keep, npix, *, ww: int, dmax: int,
                          P2: int):
     """derive_pixels with an extra host-computed keep mask over the band
     order (the allelic pre-filter, models/loops._allelic_prefilter)."""
-    cap = row.shape[0]
-    e = d.astype(jnp.int32)
-    sel = (e >= ww) & (e <= dmax) & keep
-    idx = jnp.sort(jnp.where(sel, jnp.arange(cap, dtype=jnp.int32),
-                             cap))[:P2]
-    safe = jnp.clip(idx, 0, cap - 1)
-    vp = jnp.arange(P2, dtype=jnp.int32) < npix
-    ep = jnp.where(vp, e[safe], 0)
-    xp = jnp.where(vp, row[safe], 0)
-    return ep, xp, vp
+    return _derive_pixels_core(row, d, keep, npix, ww=ww, dmax=dmax, P2=P2)
 
 
 @functools.partial(jax.jit, static_argnames=("B", "Xp", "e_lo", "x_pad",

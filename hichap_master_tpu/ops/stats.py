@@ -173,3 +173,23 @@ def norm_sf(x):
     from scipy import stats as _st
 
     return _st.norm.sf(x)
+
+
+def lambda_chunks(E: np.ndarray):
+    """Power-of-2^(1/3) λ bins (StructureFind.py:1619-1632).
+
+    Kept as the reference-shaped oracle for ``poisson_bh_chunked``
+    (the vectorized production path); no production code calls it."""
+    if E.size == 0 or E.max() <= 0:
+        return []
+    numbin = int(np.ceil(np.log(E.max()) / np.log(2) * 3 + 1))
+    pool = []
+    for i in range(1, numbin + 1):
+        if i == 1:
+            lv, rv = 0.0, 1.0
+        else:
+            lv = np.power(2, (i - 2) / 3.0)
+            rv = np.power(2, (i - 1) / 3.0)
+        idx = np.where((E > lv) & (E < rv))[0]
+        pool.append((lv, rv, idx))
+    return pool

@@ -84,6 +84,10 @@ class SparseGW:
         self._compact_every = compact_every
 
     def add(self, b1: np.ndarray, b2: np.ndarray) -> None:
+        # XLA drops out-of-bounds scatter updates in the dense path;
+        # mirror that (a >=S bin would otherwise crash the cooler writer)
+        ok = (b1 >= 0) & (b1 < self.S) & (b2 >= 0) & (b2 < self.S)
+        b1, b2 = b1[ok], b2[ok]
         lo = np.minimum(b1, b2).astype(np.int64)
         hi = np.maximum(b1, b2).astype(np.int64)
         self._pend.append(lo * self.S + hi)

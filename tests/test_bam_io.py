@@ -129,3 +129,25 @@ def test_get_chunks_discovers_bam(tmp_path):
     (tmp_path / "cell_chunk0_2.bam").write_bytes(b"")
     chunks, n, cell = get_chunks(str(tmp_path))
     assert n == 1 and cell == "cell" and len(chunks) == 2
+
+
+def test_write_bam_record_larger_than_bgzf_block(tmp_path):
+    """A single record above the 64 KiB BGZF payload cap must span blocks
+    (BGZF blocks cap the stream, not records)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 80_000))
+    qual = "".join(chr(33 + int(q)) for q in rng.integers(0, 40, 80_000))
+    big = AlnRecord(query_name="huge_1", flag=0, reference_name="1",
+                    pos=100, mapq=42, seq=seq, qual=qual, tag_as=-3,
+                    tag_xs=None)
+    small = AlnRecord(query_name="tiny_2", flag=16, reference_name="2",
+                      pos=5, mapq=30, seq="ACGT", qual="IIII", tag_as=0,
+                      tag_xs=-7)
+    path = str(tmp_path / "big.bam")
+    write_bam(path, [big, small], REFS)
+    back = list(read_bam(path))
+    assert [r.query_name for r in back] == ["huge_1", "tiny_2"]
+    assert back[0].seq == seq and back[0].qual == qual
+    assert back[1].reference_name == "2" and back[1].tag_xs == -7

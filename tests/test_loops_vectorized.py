@@ -6,8 +6,8 @@ import numpy as np
 import pytest
 
 from hichap_master_tpu.models.loops import (_allelic_prefilter,
-                                            _gap_neighborhood_keep,
-                                            lambda_chunks)
+                                            _gap_neighborhood_keep)
+from hichap_master_tpu.ops.stats import lambda_chunks
 from hichap_master_tpu.ops.stats import (bh_fdr, poisson_bh_chunked,
                                          poisson_sf)
 

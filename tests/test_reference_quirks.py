@@ -4,7 +4,8 @@ import math
 
 import numpy as np
 
-from hichap_master_tpu.models.loops import lambda_chunks, peaks_parameters
+from hichap_master_tpu.models.loops import peaks_parameters
+from hichap_master_tpu.ops.stats import lambda_chunks
 from hichap_master_tpu.ops.imputation import disk_offsets
 
 
