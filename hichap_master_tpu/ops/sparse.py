@@ -170,12 +170,24 @@ def _segsum(data: jnp.ndarray, seg: jnp.ndarray, R: int,
 def block_sym_matvec(tiles: jnp.ndarray, brow: jnp.ndarray,
                      bcol: jnp.ndarray, b: jnp.ndarray, *,
                      R: int, T: int, reduce: str = "onehot") -> jnp.ndarray:
-    """y = M @ b for the symmetric block layout; b and y are [R*T]."""
-    hp = jax.lax.Precision.HIGHEST
+    """y = M @ b for the symmetric block layout; b and y are [R*T].
+
+    bfloat16 tiles (the ``fast`` balancing mode) contract with bf16 inputs
+    and float32 accumulation — halves the per-iteration HBM traffic the
+    matvec is bound by; f32 tiles use HIGHEST precision (the ICE
+    convergence test sits near the bf16-MXU noise floor)."""
     xb = b.reshape(R, T)
-    cr = jnp.einsum("kij,kj->ki", tiles, xb[bcol], precision=hp)
-    off = (brow != bcol).astype(tiles.dtype)
-    cc = jnp.einsum("kij,ki->kj", tiles, xb[brow], precision=hp)
+    if tiles.dtype == jnp.bfloat16:
+        xb16 = xb.astype(jnp.bfloat16)
+        cr = jnp.einsum("kij,kj->ki", tiles, xb16[bcol],
+                        preferred_element_type=jnp.float32)
+        cc = jnp.einsum("kij,ki->kj", tiles, xb16[brow],
+                        preferred_element_type=jnp.float32)
+    else:
+        hp = jax.lax.Precision.HIGHEST
+        cr = jnp.einsum("kij,kj->ki", tiles, xb[bcol], precision=hp)
+        cc = jnp.einsum("kij,ki->kj", tiles, xb[brow], precision=hp)
+    off = (brow != bcol).astype(cr.dtype)
     y = _segsum(cr, brow, R, reduce) + _segsum(cc * off[:, None], bcol, R,
                                                reduce)
     return y.reshape(R * T)
@@ -184,14 +196,15 @@ def block_sym_matvec(tiles: jnp.ndarray, brow: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("R", "T", "ignore_diags", "mad_max", "min_nnz",
-                     "min_count", "tol", "max_iters", "reduce"),
+                     "min_count", "tol", "max_iters", "reduce", "fast"),
 )
 def sparse_ice_balance(tiles: jnp.ndarray, brow: jnp.ndarray,
                        bcol: jnp.ndarray, n: jnp.ndarray, *,
                        R: int, T: int, ignore_diags: int = 1,
                        mad_max: int = 5, min_nnz: int = 10,
                        min_count: int = 0, tol: float = 1e-5,
-                       max_iters: int = 200, reduce: str = "onehot"):
+                       max_iters: int = 200, reduce: str = "onehot",
+                       fast: bool = False):
     """ICE balancing of a block-sparse symmetric matrix.
 
     Same semantics as ``ops.balance.ice_balance`` (cooler-default filters:
@@ -199,6 +212,11 @@ def sparse_ice_balance(tiles: jnp.ndarray, brow: jnp.ndarray,
     a block matvec whose HBM traffic is proportional to the *occupied tiles*,
     not n² — this is what makes genome-wide 10 kb balancing representable.
     Returns (weights [R*T], stats); weights NaN at filtered bins.
+
+    fast : iterate with bfloat16-stored tiles, float32 accumulation (same
+    trade as ``ops.balance.ice_balance(fast=True)``: ~2x less HBM traffic
+    against ~1e-3 relative weight deviation — filters and convergence
+    state stay float32).
     """
     dtype = tiles.dtype
     N = R * T
@@ -233,9 +251,15 @@ def sparse_ice_balance(tiles: jnp.ndarray, brow: jnp.ndarray,
 
     b0 = jnp.where(keep, jnp.ones((), dtype), 0.0)
 
+    mv_it = mv
+    if fast:
+        tiles16 = tiles.astype(jnp.bfloat16)
+        mv_it = functools.partial(block_sym_matvec, tiles16, brow, bcol,
+                                  R=R, T=T, reduce=reduce)
+
     def body(state):
         it, b, _, _ = state
-        marg = mv(b) * b
+        marg = mv_it(b) * b
         nz = marg != 0
         mean_nz = masked_mean(marg, nz)
         var = masked_var(marg, nz)

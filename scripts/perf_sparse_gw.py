@@ -129,6 +129,22 @@ def main():
     dt = time.perf_counter() - t0
     print(f"measured: {it} iters in {dt:.2f}s = {it / dt:.2f} iters/s")
 
+    def run_fast():
+        w, st = sparse_ice_balance(tiles, brow, bcol, jnp.asarray(n),
+                                   R=R, T=T, tol=0.0, max_iters=iters,
+                                   reduce=reduce, fast=True)
+        return np.asarray(w), int(np.asarray(st["iters"]))
+
+    wf, _ = run_fast()  # compile + warm
+    t0 = time.perf_counter()
+    wf, it = run_fast()
+    dt = time.perf_counter() - t0
+    m = ~np.isnan(w)
+    dev = (np.max(np.abs(wf[m] - w[m]) / np.abs(w[m]))
+           if m.any() else 0.0)
+    print(f"fast (bf16 tiles): {it} iters in {dt:.2f}s = "
+          f"{it / dt:.2f} iters/s (max rel dev {dev:.1e})")
+
 
 if __name__ == "__main__":
     main()

@@ -151,3 +151,22 @@ def test_storage_wins_at_scale(rng):
     M = M + np.triu(M, 1).T
     bm = blocks_from_dense(M, T=128)
     assert bm.nbytes() < 0.15 * bm.dense_nbytes()
+
+
+def test_sparse_ice_fast_mode_close(rng):
+    """fast=True (bf16 tiles, f32 accumulation) must track the f32 weights
+    within the documented ~1e-3 relative deviation."""
+    n, T = 700, 128
+    M = _banded_sym(rng, n).astype(np.float32)
+    bm = blocks_from_dense(M, T)
+    w32, st32 = sparse_ice_balance(
+        jnp.asarray(bm.tiles), jnp.asarray(bm.brow), jnp.asarray(bm.bcol),
+        jnp.asarray(n), R=bm.R, T=T, tol=0.0, max_iters=60)
+    wf, stf = sparse_ice_balance(
+        jnp.asarray(bm.tiles), jnp.asarray(bm.brow), jnp.asarray(bm.bcol),
+        jnp.asarray(n), R=bm.R, T=T, tol=0.0, max_iters=60, fast=True)
+    a, b = np.asarray(w32)[:n], np.asarray(wf)[:n]
+    assert np.array_equal(np.isnan(a), np.isnan(b))
+    m = ~np.isnan(a)
+    # bf16 rounding compounds per iteration; ~1e-2 after 60 iters
+    np.testing.assert_allclose(b[m], a[m], rtol=2e-2)
