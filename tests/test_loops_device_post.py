@@ -122,3 +122,33 @@ def test_device_post_overflow_falls_back(params, monkeypatch):
     dev = pcaller_chrom_coo(rows, cols, vals, np.ones(n), n, RES, params)
     assert calls["n"] == 1
     assert set(dev[0]) == set(host[0])
+
+
+def test_batch_overflow_falls_back_per_chrom(params, monkeypatch):
+    """When one chromosome of a group overflows the compaction buffer the
+    batch post marks it None and pcaller_multi must recompute exactly that
+    chromosome through the host path."""
+    from hichap_master_tpu.models import loops as L
+
+    rng = np.random.default_rng(5)
+    sizes = {"1": 512, "2": 512}
+    band = params["maxapart"] // RES + params["maxww"] + 1
+    inputs = {}
+    for c, n in sizes.items():
+        rows, cols, vals = _chrom(rng, n, min(band, n - 8))
+        inputs[c] = (rows, cols, vals, np.ones(n), n)
+    host = pcaller_multi(inputs, RES, params)
+
+    monkeypatch.setenv("HICHAP_FORCE_DEVICE_POST", "1")
+    orig = L._post_device_batch
+
+    def overflow_first(prs, chros, *a, **k):
+        got = orig(prs, chros, *a, **k)
+        got[chros[0]] = None  # simulate compaction overflow
+        return got
+
+    monkeypatch.setattr(L, "_post_device_batch", overflow_first)
+    dev = pcaller_multi(inputs, RES, params)
+    for c in sizes:
+        assert set(dev[c][0]) == set(host[c][0]), c
+        assert set(dev[c][1]) == set(host[c][1]), c
