@@ -66,9 +66,13 @@ def _parse_tags(buf: bytes) -> Tuple[Optional[int], Optional[int]]:
             i = end + 1
         elif typ == "B":
             sub = chr(buf[i])
-            cnt = struct.unpack_from("<i", buf, i + 1)[0]
+            # count is uint32 per the BAM spec; a signed read of a corrupt
+            # count could walk i backwards instead of failing cleanly
+            cnt = struct.unpack_from("<I", buf, i + 1)[0]
             elt = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}[sub]
             i += 5 + cnt * elt
+            if i > n:  # truncated/corrupt array: stop scanning
+                break
         else:  # unknown type: cannot skip safely
             break
     return tag_as, tag_xs

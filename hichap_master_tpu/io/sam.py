@@ -133,7 +133,11 @@ def read_sam_sorted_by_name(paths: List[str]) -> List[AlnRecord]:
             for p in paths:
                 if str(p).endswith(".bam"):
                     from .bam import bam_to_sam
-                    t = p + ".as_sam"
+                    # .tmp tail: the name must match no chunk-input pattern
+                    # (.sam/.sam.gz/.bam), or a crash between conversion and
+                    # the finally-cleanup would leave a file that re-runs
+                    # rediscover as an input chunk and double-count.
+                    t = p + ".as_sam.tmp"
                     bam_to_sam(p, t)
                     converted.append(t)
                     text_paths.append(t)

@@ -156,12 +156,19 @@ def _pack_expected(predictE, n, B: int, Xp: int, e_lo: int, x_pad: int,
 def _allelic_prefilter(xi, yi, N: int, gap: Optional[np.ndarray],
                        rows, cols, vals) -> np.ndarray:
     """Vectorized allelic pixel pre-filter (StructureFind.py:1726-1757,
-    with the reference's left-cell-read-twice bug fixed — DIVERGENCES).
+    with the reference's left-cell-read-twice bug fixed — DIVERGENCES D4).
 
     Drops a pixel when both bins sit in the gap set, or when any in-range
     4-neighbor of (x, y) is zero/absent in the symmetric contact map.
     Neighbor lookups run as one searchsorted over the encoded COO keys
     instead of the reference's per-pixel dict probes.
+
+    Boundary divergence (DIVERGENCES D4): the reference's ``H[xi-1][yi]``
+    with ``xi == 0`` does not raise — Python negative indexing wraps to the
+    LAST row, which in a banded contact map is almost always zero, so the
+    reference silently drops row-0 (and column-edge) pixels.  Here an
+    out-of-range neighbor counts as nonzero (keep): edge pixels are judged
+    only on their in-range neighbors.
     """
     gap_mask = np.zeros(N, bool)
     if gap is not None and len(gap):
