@@ -104,38 +104,21 @@ def read_allelic_bed(paths: Sequence[str], genome: Genome, with_tag: bool):
     """Concatenate allelic-bed files → (c1, p1, c2, p2[, tag]).
 
     ``genome`` here is the *base* (non-haplotype) registry; labels in the
-    files are plain chromosome names.
+    files are plain chromosome names.  Thin wrapper over the streaming
+    reader — prefer ``iter_allelic_bed`` for production-scale inputs (the
+    matrix builder streams; this holds everything at once).
     """
-    idx = label_index(genome)
-    c1s, p1s, c2s, p2s, tags = [], [], [], [], []
-    for path in paths:
-        if os.path.getsize(path) == 0:
-            continue
-        usecols = [0, 1, 2, 3, 4] if with_tag else [0, 1, 2, 3]
-        names = ["c1", "p1", "c2", "p2", "tag"][: len(usecols)]
-        df = pd.read_csv(path, sep="\t", header=None, usecols=usecols,
-                         names=names, dtype=str)
-        c1 = _chrom_index(df["c1"], idx)
-        c2 = _chrom_index(df["c2"], idx)
-        keep = (c1 >= 0) & (c2 >= 0)
-        c1s.append(c1[keep])
-        c2s.append(c2[keep])
-        p1s.append(df["p1"].astype(np.int64).to_numpy()[keep])
-        p2s.append(df["p2"].astype(np.int64).to_numpy()[keep])
-        if with_tag:
-            tags.append(
-                df["tag"].map(_TAG_MAP).fillna(-1).astype(np.int8).to_numpy()[keep]
-            )
-    if not c1s:
+    cols = [[], [], [], [], []]
+    width = 5 if with_tag else 4
+    for part in iter_allelic_bed(paths, genome, with_tag):
+        for acc, a in zip(cols, part):
+            acc.append(a)
+    if not cols[0]:
         z32 = np.zeros(0, np.int32)
         z64 = np.zeros(0, np.int64)
         out = (z32, z64, z32.copy(), z64.copy())
         return out + (np.zeros(0, np.int8),) if with_tag else out
-    out = (np.concatenate(c1s), np.concatenate(p1s),
-           np.concatenate(c2s), np.concatenate(p2s))
-    if with_tag:
-        return out + (np.concatenate(tags),)
-    return out
+    return tuple(np.concatenate(c) for c in cols[:width])
 
 
 def iter_valid_bed(paths: Sequence[str], genome: Genome,
@@ -155,32 +138,43 @@ def iter_valid_bed(paths: Sequence[str], genome: Genome,
                 yield _parse_valid_lines(lines, idx)
 
 
+# Streaming chunk size (rows) for the allelic readers.  Host memory per
+# in-flight chunk is ~40 B/row of columnar arrays plus pandas' parse
+# buffer, so the default 2^20 rows bounds the reader at tens of MB no
+# matter how large the bed is (the reference streams the same way,
+# matrixBuilding.py:1081-1094).  HICHAP_ALLELIC_CHUNK overrides (tests
+# force it to single digits to prove chunk-boundary independence).
+def _allelic_chunk_rows() -> int:
+    return int(os.environ.get("HICHAP_ALLELIC_CHUNK", str(1 << 20)))
+
+
 def iter_allelic_bed(paths: Sequence[str], genome: Genome, with_tag: bool,
-                     read_bytes: int = 1 << 25):
-    """Stream (c1, p1, c2, p2[, tag]) chunks from allelic-bed files."""
+                     chunk_rows: int | None = None):
+    """Stream (c1, p1, c2, p2[, tag]) chunks from allelic-bed files with
+    bounded host memory (pandas C reader, ``chunksize`` rows)."""
     idx = label_index(genome)
+    rows = chunk_rows or _allelic_chunk_rows()
+    usecols = [0, 1, 2, 3, 4] if with_tag else [0, 1, 2, 3]
+    names = ["c1", "p1", "c2", "p2", "tag"][: len(usecols)]
+    dtype = {"c1": "category", "p1": np.int64, "c2": "category",
+             "p2": np.int64, "tag": "category"}
     for path in paths:
         if os.path.getsize(path) == 0:
             continue
-        with open(path) as f:
-            while True:
-                lines = f.readlines(read_bytes)
-                if not lines:
-                    break
-                fields = [ln.split() for ln in lines]
-                c1 = _chrom_index(pd.Series([r[0] for r in fields]), idx)
-                c2 = _chrom_index(pd.Series([r[2] for r in fields]), idx)
-                keep = (c1 >= 0) & (c2 >= 0)
-                p1 = np.asarray([r[1] for r in fields], np.int64)[keep]
-                p2 = np.asarray([r[3] for r in fields], np.int64)[keep]
-                out = (c1[keep], p1, c2[keep], p2)
-                if with_tag:
-                    tag = np.asarray([_TAG_MAP.get(r[4], -1) if len(r) > 4
-                                      else -1 for r in fields],
-                                     np.int8)[keep]
-                    yield out + (tag,)
-                else:
-                    yield out
+        for df in pd.read_csv(path, sep="\t", header=None, usecols=usecols,
+                              names=names, dtype=dtype, engine="c",
+                              chunksize=rows):
+            c1 = _chrom_index(df["c1"], idx)
+            c2 = _chrom_index(df["c2"], idx)
+            keep = (c1 >= 0) & (c2 >= 0)
+            out = (c1[keep], df["p1"].to_numpy()[keep],
+                   c2[keep], df["p2"].to_numpy()[keep])
+            if with_tag:
+                tag_codes = df["tag"].map(_TAG_MAP).astype("float64")
+                tag = tag_codes.fillna(-1).astype(np.int8).to_numpy()[keep]
+                yield out + (tag,)
+            else:
+                yield out
 
 
 def discover_allelic_beds(bed_path: str) -> Dict[str, List[str]]:

@@ -48,6 +48,31 @@ def bin_genomewide(acc: jnp.ndarray, c1: jnp.ndarray, p1: jnp.ndarray,
     return acc
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def bin_genomewide_bins(acc: jnp.ndarray, b1: jnp.ndarray, b2: jnp.ndarray,
+                        valid: jnp.ndarray) -> jnp.ndarray:
+    """``bin_genomewide`` from precomputed genome-wide bins (symmetric
+    increment, diagonal once).  Used by the streaming haplotype builder
+    where the two sides carry distinct offset tables (M/P halves)."""
+    b1 = jnp.where(valid, b1, 0)
+    b2 = jnp.where(valid, b2, 0)
+    inc = valid.astype(acc.dtype)
+    acc = acc.at[b1, b2].add(inc)
+    acc = acc.at[b2, b1].add(jnp.where(b1 != b2, inc, 0))
+    return acc
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def bin_genomewide_single_triangle_bins(acc: jnp.ndarray, r: jnp.ndarray,
+                                        c: jnp.ndarray,
+                                        valid: jnp.ndarray) -> jnp.ndarray:
+    """Literal single-triangle (row, col) increments from precomputed bins
+    (the haplotype single-side rule, matrixBuilding.py:1295-1301)."""
+    r = jnp.where(valid, r, 0)
+    c = jnp.where(valid, c, 0)
+    return acc.at[r, c].add(valid.astype(acc.dtype))
+
+
 @functools.partial(jax.jit, static_argnames=("res",), donate_argnums=(0,))
 def bin_intra(acc: jnp.ndarray, c1: jnp.ndarray, p1: jnp.ndarray,
               c2: jnp.ndarray, p2: jnp.ndarray, valid: jnp.ndarray,

@@ -184,6 +184,35 @@ def genomewide_alpha(T_M: jnp.ndarray, M_M: jnp.ndarray, P_P: jnp.ndarray,
     return jnp.where(valid, alpha, 1.0)
 
 
+@jax.jit
+def genomewide_alpha_margins(t_rowsum: jnp.ndarray, t_rownnz: jnp.ndarray,
+                             m_rowsum: jnp.ndarray, p_rowsum: jnp.ndarray,
+                             n: jnp.ndarray) -> jnp.ndarray:
+    """``genomewide_alpha`` from row margins instead of dense blocks.
+
+    The alpha formula (matrixBuilding.py:876-886) touches its inputs only
+    through per-row sums and the traditional block's per-row nonzero count
+    (the lowres coverage/gap rule), so past the dense cap it evaluates
+    straight from COO margins — no [n, n] block ever materializes.  All
+    vectors padded [N], true size ``n``; returns alpha [N] (1.0 on padding).
+    """
+    dtype = m_rowsum.dtype
+    N = t_rowsum.shape[0]
+    valid = valid_row_mask(n, N)
+    cov = jnp.where(n > 0, t_rownnz / n, 0.0)
+    gap = (cov < 0.1) | ~valid
+    nongap = ~gap & valid
+
+    alpha = (m_rowsum + p_rowsum) / (t_rowsum + 1)
+    alpha = alpha.astype(dtype)
+    amax = masked_max(alpha, nongap)
+    alpha = alpha / jnp.where(amax != 0, amax, 1.0)
+    alpha = jnp.where(alpha == 0, 1.0, alpha)
+    thr = masked_percentile(alpha, nongap, 20.0)
+    alpha = jnp.maximum(alpha, thr)
+    return jnp.where(valid, alpha, 1.0)
+
+
 @functools.partial(jax.jit, static_argnames=("vc_alpha",))
 def genomewide_correction(H_M: jnp.ndarray, alpha_full: jnp.ndarray,
                           total: jnp.ndarray, vc_alpha: float = 2.0 / 3.0):

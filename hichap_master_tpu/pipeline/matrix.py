@@ -37,6 +37,7 @@ from ..io.bedio import (
     TAG_R1,
     bed_prefix,
     discover_allelic_beds,
+    iter_allelic_bed,
     iter_valid_bed,
     read_allelic_bed,
 )
@@ -44,14 +45,23 @@ from ..io.cooler import CoolerReader, CoolerWriter, write_cooler
 from ..ops.balance import ice_balance
 from ..ops.binning import (
     bin_genomewide,
+    bin_genomewide_bins,
     bin_genomewide_directed,
     bin_genomewide_single_side_intra,
+    bin_genomewide_single_triangle_bins,
     bin_intra,
     bin_intra_single_side,
+    pad_chunk,
     stream_chunks,
 )
-from ..ops.correct import genomewide_alpha, genomewide_correction, two_step_correction
+from ..ops.correct import (
+    genomewide_alpha,
+    genomewide_alpha_margins,
+    genomewide_correction,
+    two_step_correction,
+)
 from ..ops.imputation import disk_offsets, impute_inter_chunk
+from ..ops.sparse_impute import SparseU, disk_row_intervals, sparse_impute_vote
 from ..utils.logging import get_logger
 from ..utils.profiling import stage
 
@@ -118,6 +128,84 @@ class SparseGW:
         self._compact()
         other._compact()
         out = SparseGW(self.S)
+        allk = np.concatenate([self.keys, other.keys])
+        allc = np.concatenate([self.cnts, other.cnts])
+        out.keys, inv = np.unique(allk, return_inverse=True)
+        out.cnts = np.bincount(inv, weights=allc)
+        return out
+
+    __radd__ = __add__
+
+
+class SparseDirectedGW:
+    """Directed genome-wide COO accumulator (general (row, col) increments).
+
+    The haplotype Imputated matrix is *asymmetric*: single-side intra
+    contacts and inter disk-vote winners land at their literal (row, col)
+    (one triangle each, matrixBuilding.py:1295-1301); the symmetric
+    UnImputated base folds in via ``add_symmetric``.  Same compaction
+    strategy as ``SparseGW`` — host memory stays O(unique pixels)."""
+
+    def __init__(self, S: int, compact_every: int = 1 << 24):
+        self.S = S
+        self.keys = np.zeros(0, np.int64)
+        self.cnts = np.zeros(0, np.float64)
+        self._pend: List[Tuple[np.ndarray, np.ndarray]] = []
+        self._pend_n = 0
+        self._compact_every = compact_every
+
+    def add_directed(self, r: np.ndarray, c: np.ndarray,
+                     w: np.ndarray | None = None) -> None:
+        # mirror XLA's drop of out-of-bounds scatter updates (dense parity)
+        r = np.asarray(r, np.int64)
+        c = np.asarray(c, np.int64)
+        ok = (r >= 0) & (r < self.S) & (c >= 0) & (c < self.S)
+        r, c = r[ok], c[ok]
+        w = np.ones(r.size) if w is None else np.asarray(w, np.float64)[ok]
+        self._pend.append((r * self.S + c, w))
+        self._pend_n += r.size
+        if self._pend_n >= self._compact_every:
+            self._compact()
+
+    def add_symmetric(self, rows, cols, vals) -> None:
+        """Fold an upper-triangle symmetric COO in (both orientations,
+        diagonal once)."""
+        rows = np.asarray(rows, np.int64)
+        cols = np.asarray(cols, np.int64)
+        vals = np.asarray(vals, np.float64)
+        off = rows != cols
+        self._pend.append((rows * self.S + cols, vals))
+        self._pend.append((cols[off] * self.S + rows[off], vals[off]))
+        self._pend_n += rows.size + int(off.sum())
+        if self._pend_n >= self._compact_every:
+            self._compact()
+
+    def _compact(self) -> None:
+        if not self._pend:
+            return
+        allk = np.concatenate([self.keys] + [k for k, _ in self._pend])
+        allc = np.concatenate([self.cnts] + [w for _, w in self._pend])
+        self.keys, inv = np.unique(allk, return_inverse=True)
+        self.cnts = np.bincount(inv, weights=allc)
+        self._pend, self._pend_n = [], 0
+
+    def coo(self):
+        self._compact()
+        return self.keys // self.S, self.keys % self.S, self.cnts
+
+    def sum(self) -> float:
+        self._compact()
+        return float(self.cnts.sum())
+
+    def __add__(self, other):
+        if not isinstance(other, SparseDirectedGW):
+            if other == 0:  # sum() starts from 0
+                return self
+            return NotImplemented
+        assert self.S == other.S
+        self._compact()
+        other._compact()
+        out = SparseDirectedGW(self.S)
         allk = np.concatenate([self.keys, other.keys])
         allc = np.concatenate([self.cnts, other.cnts])
         out.keys, inv = np.unique(allk, return_inverse=True)
@@ -247,6 +335,207 @@ def accumulate_intra(c1, p1, c2, p2, genome: Genome, res: int,
         for gi, c in enumerate(group):
             out[c] = host[gi, : nb[c], : nb[c]]
     return out
+
+
+class _ChunkBuffer:
+    """Buffers columnar rows and emits fixed-size padded chunks.
+
+    The jitted binning kernels compile once per (chunk, dtype) shape;
+    padding every small streamed slice to ``chunk`` wastes scatter work,
+    so rows accumulate here until a full chunk exists (padding waste is
+    bounded by one chunk per *stream*, not per producer call)."""
+
+    def __init__(self, ncols: int, emit, chunk: int = CHUNK):
+        self._cols: List[List[np.ndarray]] = [[] for _ in range(ncols)]
+        self._n = 0
+        self._emit = emit
+        self._chunk = chunk
+
+    def add(self, *cols) -> None:
+        n = len(cols[0])
+        if n == 0:
+            return
+        for acc, a in zip(self._cols, cols):
+            acc.append(np.asarray(a))
+        self._n += n
+        if self._n >= self._chunk:
+            self._drain(keep_tail=True)
+
+    def _drain(self, keep_tail: bool) -> None:
+        cols = [c[0] if len(c) == 1 else np.concatenate(c)
+                for c in self._cols]
+        stop = (self._n // self._chunk) * self._chunk if keep_tail else self._n
+        for s in range(0, stop, self._chunk):
+            sl = [a[s : s + self._chunk] for a in cols]
+            padded, valid = pad_chunk(sl, self._chunk)
+            self._emit(padded, valid)
+        self._cols = [[a[stop:]] for a in cols]
+        self._n -= stop
+
+    def close(self) -> None:
+        if self._n:
+            self._drain(keep_tail=False)
+        self._cols = [[] for _ in self._cols]
+        self._n = 0
+
+
+class _GWAcc:
+    """Streaming genome-wide accumulator with three storage regimes.
+
+    * ``sparse`` — COO key space (``SparseGW`` / ``SparseDirectedGW``) past
+      ``DENSE_GW_MAX_BINS``: O(nnz) host memory, the layout the cooler is
+      written in;
+    * ``host`` — dense [S, S] f32 with periodic np.bincount flushes (wins
+      for small, dense targets; see the measured policy note above);
+    * ``dev`` — device [S, S] f32 with chunked XLA scatter-adds.
+
+    ``add_sym`` is the symmetric diagonal-once rule (matrixBuilding.py:
+    588-592); ``add_directed`` the literal single-triangle rule of the
+    haplotype single-side/imputation increments (matrixBuilding.py:
+    1295-1301)."""
+
+    def __init__(self, S: int, sparse: bool, directed: bool = False):
+        self.S = S
+        if sparse:
+            self.mode = "sparse"
+            self.acc: SparseGW | SparseDirectedGW = (
+                SparseDirectedGW(S) if directed else SparseGW(S))
+        elif (os.environ.get("HICHAP_HOST_BINCOUNT", "1") != "0"
+              and S * S <= _HOST_BINCOUNT_CELLS):
+            self.mode = "host"
+            self.host = np.zeros(S * S, np.float32)
+            self._pend: List[np.ndarray] = []
+            self._pend_n = 0
+        else:
+            self.mode = "dev"
+            self.dev = jnp.zeros((S, S), jnp.float32)
+            self._sym_buf = _ChunkBuffer(2, self._emit_sym)
+            self._dir_buf = _ChunkBuffer(2, self._emit_dir)
+
+    # -- device emitters ---------------------------------------------------
+    def _emit_sym(self, padded, valid) -> None:
+        b1, b2 = padded
+        self.dev = bin_genomewide_bins(self.dev, jnp.asarray(b1),
+                                       jnp.asarray(b2), jnp.asarray(valid))
+
+    def _emit_dir(self, padded, valid) -> None:
+        r, c = padded
+        self.dev = bin_genomewide_single_triangle_bins(
+            self.dev, jnp.asarray(r), jnp.asarray(c), jnp.asarray(valid))
+
+    # -- host key push -----------------------------------------------------
+    def _push(self, keys: np.ndarray) -> None:
+        self._pend.append(keys)
+        self._pend_n += keys.size
+        if self._pend_n >= 1 << 24:
+            self._host_flush()
+
+    def _host_flush(self) -> None:
+        if not self._pend:
+            return
+        keys = np.concatenate(self._pend)
+        self.host += np.bincount(keys, minlength=self.S * self.S)
+        self._pend, self._pend_n = [], 0
+
+    def _inb(self, b1, b2):
+        b1 = np.asarray(b1, np.int64)
+        b2 = np.asarray(b2, np.int64)
+        ok = (b1 >= 0) & (b1 < self.S) & (b2 >= 0) & (b2 < self.S)
+        return b1[ok], b2[ok]
+
+    # -- producers ---------------------------------------------------------
+    def add_sym(self, b1: np.ndarray, b2: np.ndarray) -> None:
+        if self.mode == "sparse":
+            self.acc.add(b1, b2)
+        elif self.mode == "host":
+            b1, b2 = self._inb(b1, b2)
+            off = b1 != b2
+            self._push(b1 * self.S + b2)
+            self._push(b2[off] * self.S + b1[off])
+        else:
+            self._sym_buf.add(b1, b2)
+
+    def add_directed(self, r: np.ndarray, c: np.ndarray) -> None:
+        if self.mode == "sparse":
+            self.acc.add_directed(r, c)
+        elif self.mode == "host":
+            r, c = self._inb(r, c)
+            self._push(r * self.S + c)
+        else:
+            self._dir_buf.add(r, c)
+
+    def finish(self):
+        """→ np.ndarray [S, S] (dense modes) or the sparse accumulator."""
+        if self.mode == "sparse":
+            return self.acc
+        if self.mode == "host":
+            self._host_flush()
+            return self.host.reshape(self.S, self.S)
+        self._sym_buf.close()
+        self._dir_buf.close()
+        return np.asarray(self.dev)
+
+
+class _IntraAcc:
+    """Streaming per-chromosome intra accumulator — the incremental form of
+    ``accumulate_intra`` ([G, N, N] device buckets, same semantics)."""
+
+    def __init__(self, genome: Genome, res: int, single_side: bool = False):
+        self.res = res
+        self.single = single_side
+        self.nb = {c: genome.n_bins(c, res) for c in genome.labels}
+        self.groups = bucket_groups(genome.labels, self.nb)
+        label_idx = {c: i for i, c in enumerate(genome.labels)}
+        self.gpos: List[np.ndarray] = []
+        self.dev: List[jnp.ndarray] = []
+        self.bufs: List[_ChunkBuffer] = []
+        for group, N in self.groups:
+            pos = np.full(len(genome.labels), -1, np.int32)
+            for k, c in enumerate(group):
+                pos[label_idx[c]] = k
+            self.gpos.append(pos)
+            self.dev.append(jnp.zeros((len(group), N, N), jnp.float32))
+            gi = len(self.dev) - 1
+            self.bufs.append(_ChunkBuffer(4 if single_side else 3,
+                                          self._make_emit(gi)))
+
+    def _make_emit(self, gi: int):
+        def emit(padded, valid):
+            vj = jnp.asarray(valid)
+            if self.single:
+                a, b, d, t = padded
+                self.dev[gi] = bin_intra_single_side(
+                    self.dev[gi], jnp.asarray(a), jnp.asarray(b),
+                    jnp.asarray(a), jnp.asarray(d),
+                    jnp.asarray(t == TAG_R1), vj, self.res)
+            else:
+                a, b, d = padded
+                self.dev[gi] = bin_intra(
+                    self.dev[gi], jnp.asarray(a), jnp.asarray(b),
+                    jnp.asarray(a), jnp.asarray(d), vj, self.res)
+        return emit
+
+    def add(self, c1, p1, c2, p2, tags=None) -> None:
+        intra = c1 == c2
+        for gi in range(len(self.groups)):
+            pos = self.gpos[gi]
+            sel = intra & (pos[c1] >= 0)
+            if not sel.any():
+                continue
+            cols = [pos[c1[sel]], p1[sel], p2[sel]]
+            if self.single:
+                cols.append(tags[sel])
+            self.bufs[gi].add(*cols)
+
+    def finish(self) -> Dict[str, np.ndarray]:
+        out: Dict[str, np.ndarray] = {}
+        for gi, (group, _N) in enumerate(self.groups):
+            self.bufs[gi].close()
+            host = np.asarray(self.dev[gi])
+            for k, c in enumerate(group):
+                n = self.nb[c]
+                out[c] = host[k, :n, :n]
+        return out
 
 
 def build_traditional_stream(files: Sequence[str], genome: Genome,
@@ -422,183 +711,215 @@ def _write_traditional_cooler(path, genome, whole, local):
 
 
 # ------------------------------------------------------ haplotype driver
+# Chunk size (rows) for the streamed imputation votes: the per-row work is
+# O(|disk rows| * log nnz) searches (sparse) or an O(|disk|) gather (dense),
+# so vote chunks are smaller than binning chunks.
+VOTE_CHUNK = 1 << 17
+
+
 def build_haplotype_datasets(
     bed_path: str, genome: Genome, whole_res: Sequence[int],
     local_res: Sequence[int], imputation_region: int = 10_000_000,
     imputation_min: int = 2, imputation_ratio: float = 0.9,
 ):
-    """One replicate: all matrices of the haplotype pipeline, as host arrays.
+    """One replicate: all matrices of the haplotype pipeline.
 
     Returns dict with keys Tradition_Whole/Tradition_Local/UnImputated_*/
-    Imputated_* mirroring the reference's DataSets (matrixBuilding.py:1044-1638).
+    Imputated_* mirroring the reference's DataSets (matrixBuilding.py:
+    1044-1638).  Whole-genome matrices are np arrays up to
+    ``DENSE_GW_MAX_BINS`` bins and block-sparse accumulators past it
+    (``SparseGW`` for the symmetric Tradition/UnImputated counts,
+    ``SparseDirectedGW`` for the asymmetric Imputated counts) — this is
+    what takes diploid genome-wide construction to 10 kb (hg19 ≈ 607k
+    haplotype bins, ~1.4 TB dense), past the reference's wholeRes >= 2 Mb
+    practical limit (README.md:312-318).
+
+    Ingestion streams: three passes over the bed files via the chunked
+    reader (bounded host memory, matrixBuilding.py:1081-1094 design
+    point) — (1) all five classes → traditional, (2) M_M/P_P/M_P/P_M →
+    un-imputed + single-side intra increments, (3) M_M/P_P single-side
+    inter → the imputation disk vote against the completed un-imputed
+    matrix (dense gather kernel ``impute_inter_chunk`` or the sorted-COO
+    range-query kernel ``sparse_impute_vote``).
     """
     beds = discover_allelic_beds(bed_path)
     prefix = bed_prefix([f for v in beds.values() for f in v])
     hap = genome.haplotype()
     nc = len(genome.labels)
-
-    too_fine = [res for res in whole_res
-                if hap.total_bins(res) > DENSE_GW_MAX_BINS]
-    if too_fine:
-        raise ValueError(
-            f"haplotype whole-genome resolutions {too_fine} exceed "
-            f"{DENSE_GW_MAX_BINS} bins (diploid genome): the imputation "
-            "disk vote needs the dense genome-wide matrix.  Use a coarser "
-            "wholeRes (the reference runs haplotype wholeRes >= 2 Mb, "
-            "README.md:312-318); genome-wide balancing/correction at fine "
-            "resolutions is available via ops/sparse.py "
-            "(sparse_ice_balance, sparse_genomewide_correction).")
-
-    # ---- traditional matrices from all five bed classes (cols 0-3) -------
-    all_files = [f for k in ("Bi_Allelic", "M_M", "P_P", "M_P", "P_M")
-                 for f in beds[k]]
-    tc1, tp1, tc2, tp2 = read_allelic_bed(all_files, genome, with_tag=False)
-    tradition_whole = {res: accumulate_genomewide(tc1, tp1, tc2, tp2, genome, res)
-                       for res in whole_res}
-    tradition_local = {res: accumulate_intra(tc1, tp1, tc2, tp2, genome, res)
-                       for res in local_res}
-
-    # ---- both-side haplotype contacts ------------------------------------
-    mm = read_allelic_bed(beds["M_M"], genome, with_tag=True)
-    pp = read_allelic_bed(beds["P_P"], genome, with_tag=True)
-    mp = read_allelic_bed(beds["M_P"], genome, with_tag=False)
-    pm = read_allelic_bed(beds["P_M"], genome, with_tag=False)
-
-    def hap_whole(res: int) -> np.ndarray:
-        S = hap.total_bins(res)
-        offs = _offsets_array(hap, res)
-        m_off = jnp.asarray(offs[:nc])
-        p_off = jnp.asarray(offs[nc:])
-        dev = jnp.zeros((S, S), jnp.float32)
-        for (c1, p1, c2, p2, tag), hoff1, hoff2, sym in (
-            (mm, m_off, m_off, True),
-            (pp, p_off, p_off, True),
-            (mp + (None,), m_off, p_off, False),
-            (pm + (None,), p_off, m_off, False),
-        ):
-            if sym:
-                sel = tag == TAG_BOTH
-                cols = [c1[sel], p1[sel], c2[sel], p2[sel]]
-            else:
-                cols = [c1, p1, c2, p2]
-            for (a, b, d, e), valid in stream_chunks(cols, CHUNK):
-                dev = bin_genomewide_directed(
-                    dev, jnp.asarray(a), jnp.asarray(b), jnp.asarray(d),
-                    jnp.asarray(e), hoff1, hoff2, jnp.asarray(valid), res)
-        # bin_genomewide_directed double-counts diagonal hits for the
-        # symmetric classes; reference counts them once.  Halve the diagonal
-        # surplus: recompute diag from symmetric classes.
-        return np.asarray(dev)
-
-    # The directed kernel adds [b1,b2] and [b2,b1] always; for b1==b2 that is
-    # a double count.  Correct by accumulating diagonal hits separately.
-    def hap_whole_exact(res: int) -> np.ndarray:
-        M = np.array(hap_whole(res))  # writable host copy
-        offs = _offsets_array(hap, res)
-        diag_fix = np.zeros(M.shape[0], np.float64)
-        for (c1, p1, c2, p2, tag), off1, off2 in (
-            (mm, offs[:nc], offs[:nc]),
-            (pp, offs[nc:], offs[nc:]),
-            (mp + (None,), offs[:nc], offs[nc:]),
-            (pm + (None,), offs[nc:], offs[:nc]),
-        ):
-            if tag is not None:
-                sel = tag == TAG_BOTH
-                c1, p1, c2, p2 = c1[sel], p1[sel], c2[sel], p2[sel]
-            b1 = p1 // res + off1[c1]
-            b2 = p2 // res + off2[c2]
-            same = b1 == b2
-            if same.any():
-                np.add.at(diag_fix, b1[same], 1)
-        M[np.arange(M.shape[0]), np.arange(M.shape[0])] -= diag_fix
-        return M
-
-    unimp_whole = {res: hap_whole_exact(res) for res in whole_res}
-
-    def hap_local(res: int) -> Dict[str, np.ndarray]:
-        out: Dict[str, np.ndarray] = {}
-        for (c1, p1, c2, p2, tag), pref in ((mm, "M"), (pp, "P")):
-            sel = tag == TAG_BOTH
-            mats = accumulate_intra(c1[sel], p1[sel], c2[sel], p2[sel],
-                                    genome, res)
-            for c, m in mats.items():
-                out[pref + c] = m
-        return out
-
-    unimp_local = {res: hap_local(res) for res in local_res}
-
-    # ---- imputation -------------------------------------------------------
-    imp_whole = {res: m.copy() for res, m in unimp_whole.items()}
-    imp_local = {
-        res: {c: m.copy() for c, m in lib.items()}
-        for res, lib in unimp_local.items()
-    }
+    whole_res = list(whole_res or [])
+    local_res = list(local_res or [])
 
     offs_by_res = {res: _offsets_array(hap, res) for res in whole_res}
+    base_offs = {res: _offsets_array(genome, res) for res in whole_res}
 
-    for (c1, p1, c2, p2, tag), hap_side in ((mm, "M"), (pp, "P")):
-        single = tag != TAG_BOTH
-        s_c1, s_p1, s_c2, s_p2, s_tag = (
-            c1[single], p1[single], c2[single], p2[single], tag[single])
-        intra = s_c1 == s_c2
-        base = 0 if hap_side == "M" else nc
-
-        # intra: one-triangle increments at whole and local resolutions
+    # ---- pass 1: traditional matrices from all five classes (cols 0-3) ---
+    all_files = [f for k in ("Bi_Allelic", "M_M", "P_P", "M_P", "P_M")
+                 for f in beds[k]]
+    twhole = {res: _GWAcc(genome.total_bins(res), _gw_is_sparse(genome, res))
+              for res in whole_res}
+    tlocal = {res: _IntraAcc(genome, res) for res in local_res}
+    for c1, p1, c2, p2 in iter_allelic_bed(all_files, genome, with_tag=False):
         for res in whole_res:
-            offs = offs_by_res[res]
-            b1 = s_p1[intra] // res + offs[s_c1[intra] + base]
-            b2 = s_p2[intra] // res + offs[s_c2[intra] + base]
-            r1 = s_tag[intra] == TAG_R1
-            dev = jnp.asarray(imp_whole[res])
-            for (bb1, bb2, rr1), valid in stream_chunks(
-                    [b1, b2, r1.astype(np.int8)], CHUNK):
-                dev = bin_genomewide_single_side_intra(
-                    dev, jnp.asarray(bb1), jnp.asarray(bb2),
-                    jnp.asarray(rr1 == 1), jnp.asarray(valid), res)
-            imp_whole[res] = np.asarray(dev)
-
+            offs = base_offs[res]
+            twhole[res].add_sym(p1 // res + offs[c1], p2 // res + offs[c2])
         for res in local_res:
-            mats = accumulate_intra(
-                s_c1[intra], s_p1[intra], s_c2[intra], s_p2[intra], genome,
-                res,
-                init={c[1:]: m for c, m in imp_local[res].items()
-                      if c[0] == hap_side},
-                tags=s_tag[intra])
-            for c, m in mats.items():
-                imp_local[res][hap_side + c] = m
+            tlocal[res].add(c1, p1, c2, p2)
+    tradition_whole = {res: twhole[res].finish() for res in whole_res}
+    tradition_local = {res: tlocal[res].finish() for res in local_res}
 
-        # inter: disk vote at whole resolutions
-        inter = ~intra
-        for res in whole_res:
-            L = imputation_region // res
-            if L < 1:
-                continue
-            di_np, dj_np = disk_offsets(L)
-            if len(di_np) == 0:
-                continue
-            offs = offs_by_res[res]
-            ic1, ip1 = s_c1[inter], s_p1[inter]
-            ic2, ip2 = s_c2[inter], s_p2[inter]
-            r1 = s_tag[inter] == TAG_R1
-            other = nc if hap_side == "M" else -nc
-            # known side: mate1 when R1 else mate2; candidates on the
-            # unknown side's own chromosome (reference offset bug fixed).
-            known_bin = np.where(r1, ip1 // res + offs[ic1 + base],
-                                 ip2 // res + offs[ic2 + base])
-            unk_c = np.where(r1, ic2, ic1)
-            unk_p = np.where(r1, ip2, ip1)
-            col_same = unk_p // res + offs[unk_c + base]
-            col_cross = unk_p // res + offs[unk_c + base + other]
-            U = jnp.asarray(unimp_whole[res])
-            dev = jnp.asarray(imp_whole[res])
-            di, dj = jnp.asarray(di_np), jnp.asarray(dj_np)
-            for (rk, csame, ccross), valid in stream_chunks(
-                    [known_bin, col_same, col_cross], CHUNK):
-                dev = impute_inter_chunk(
-                    dev, U, jnp.asarray(rk), jnp.asarray(csame),
-                    jnp.asarray(ccross), jnp.asarray(valid), di, dj, L,
-                    float(imputation_min), float(imputation_ratio))
-            imp_whole[res] = np.asarray(dev)
+    # ---- pass 2: haplotype matrices --------------------------------------
+    uwhole = {res: _GWAcc(hap.total_bins(res), _gw_is_sparse(hap, res))
+              for res in whole_res}
+    ulocal = {res: {"M": _IntraAcc(genome, res), "P": _IntraAcc(genome, res)}
+              for res in local_res}
+    # single-side increments accumulate separately and fold in afterwards
+    # (pure addition, so this equals the reference's in-place order)
+    swhole = {res: _GWAcc(hap.total_bins(res), _gw_is_sparse(hap, res),
+                          directed=True)
+              for res in whole_res}
+    slocal = {res: {"M": _IntraAcc(genome, res, single_side=True),
+                    "P": _IntraAcc(genome, res, single_side=True)}
+              for res in local_res}
+
+    for cls, with_tag, h1, h2 in (("M_M", True, 0, 0), ("P_P", True, 1, 1),
+                                  ("M_P", False, 0, 1), ("P_M", False, 1, 0)):
+        side = "M" if h1 == 0 else "P"
+        for part in iter_allelic_bed(beds[cls], genome, with_tag=with_tag):
+            if with_tag:
+                c1, p1, c2, p2, tag = part
+                both = tag == TAG_BOTH
+                bc1, bp1, bc2, bp2 = c1[both], p1[both], c2[both], p2[both]
+            else:
+                c1, p1, c2, p2 = part
+                bc1, bp1, bc2, bp2 = c1, p1, c2, p2
+            for res in whole_res:
+                offs = offs_by_res[res]
+                uwhole[res].add_sym(bp1 // res + offs[bc1 + h1 * nc],
+                                    bp2 // res + offs[bc2 + h2 * nc])
+            if with_tag:
+                for res in local_res:
+                    ulocal[res][side].add(bc1, bp1, bc2, bp2)
+                single = ~both
+                s_c1, s_p1 = c1[single], p1[single]
+                s_c2, s_p2, s_tag = c2[single], p2[single], tag[single]
+                intra = s_c1 == s_c2
+                for res in whole_res:
+                    offs = offs_by_res[res]
+                    b1 = s_p1[intra] // res + offs[s_c1[intra] + h1 * nc]
+                    b2 = s_p2[intra] // res + offs[s_c2[intra] + h1 * nc]
+                    r1 = s_tag[intra] == TAG_R1
+                    swhole[res].add_directed(np.where(r1, b1, b2),
+                                             np.where(r1, b2, b1))
+                for res in local_res:
+                    slocal[res][side].add(s_c1[intra], s_p1[intra],
+                                          s_c2[intra], s_p2[intra],
+                                          tags=s_tag[intra])
+
+    unimp_whole = {res: uwhole[res].finish() for res in whole_res}
+    side_local = {res: {p: ulocal[res][p].finish() for p in ("M", "P")}
+                  for res in local_res}
+    unimp_local = {
+        res: {p + c: m for p in ("M", "P")
+              for c, m in side_local[res][p].items()}
+        for res in local_res
+    }
+    imp_local = {}
+    for res in local_res:
+        lib = {}
+        for p in ("M", "P"):
+            delta = slocal[res][p].finish()
+            for c, m in side_local[res][p].items():
+                lib[p + c] = m + delta[c]
+        imp_local[res] = lib
+
+    # ---- pass 3: inter-chromosome disk vote against the completed U ------
+    state: Dict[int, dict] = {}
+    any_vote = False
+    for res in whole_res:
+        U = unimp_whole[res]
+        L = imputation_region // res
+        st: dict = {"sparse": isinstance(U, SparseGW)}
+        di_np, dj_np = disk_offsets(L) if L >= 1 else (
+            np.zeros(0, np.int32), np.zeros(0, np.int32))
+        if st["sparse"]:
+            rows, cols, vals = U.coo()
+            st["acc"] = swhole[res].acc
+            st["base_coo"] = (rows, cols, vals)
+            if di_np.size and rows.size:
+                st["su"] = SparseU(rows, cols, vals, hap.total_bins(res))
+                ri, lo, hi = disk_row_intervals(L)
+                st["disk"] = tuple(jnp.asarray(a) for a in (ri, lo, hi))
+                st["L"] = L
+        else:
+            st["dev"] = jnp.asarray(U + swhole[res].finish())
+            if di_np.size:
+                st["U"] = jnp.asarray(U)
+                st["disk"] = (jnp.asarray(di_np), jnp.asarray(dj_np))
+                st["L"] = L
+        if "L" in st:
+            any_vote = True
+
+            def _emit(padded, valid, st=st, mn=float(imputation_min),
+                      rt=float(imputation_ratio)):
+                rk, cs, cc = padded
+                if st["sparse"]:
+                    su = st["su"]
+                    ri, lo, hi = st["disk"]
+                    hit, tgt = sparse_impute_vote(
+                        su.srows, su.scols, su.cum32, jnp.asarray(rk),
+                        jnp.asarray(cs), jnp.asarray(cc), jnp.asarray(valid),
+                        ri, lo, hi, jnp.int32(su.S), st["L"], mn, rt,
+                        su.iters)
+                    hit = np.asarray(hit)
+                    st["acc"].add_directed(rk[hit], np.asarray(tgt)[hit])
+                else:
+                    di, dj = st["disk"]
+                    st["dev"] = impute_inter_chunk(
+                        st["dev"], st["U"], jnp.asarray(rk), jnp.asarray(cs),
+                        jnp.asarray(cc), jnp.asarray(valid), di, dj,
+                        st["L"], mn, rt)
+
+            st["buf"] = _ChunkBuffer(
+                3, _emit, CHUNK if not st["sparse"] else VOTE_CHUNK)
+        state[res] = st
+
+    if any_vote:
+        for cls, base in (("M_M", 0), ("P_P", nc)):
+            other = nc if base == 0 else -nc
+            for c1, p1, c2, p2, tag in iter_allelic_bed(beds[cls], genome,
+                                                        with_tag=True):
+                inter = (tag != TAG_BOTH) & (c1 != c2)
+                if not inter.any():
+                    continue
+                ic1, ip1 = c1[inter], p1[inter]
+                ic2, ip2 = c2[inter], p2[inter]
+                r1 = tag[inter] == TAG_R1
+                for res in whole_res:
+                    st = state[res]
+                    if "L" not in st:
+                        continue
+                    offs = offs_by_res[res]
+                    # known side: mate1 when R1 else mate2; candidates on
+                    # the unknown side's own chromosome (reference offset
+                    # bug fixed, DIVERGENCES.md).
+                    known = np.where(r1, ip1 // res + offs[ic1 + base],
+                                     ip2 // res + offs[ic2 + base])
+                    unk_c = np.where(r1, ic2, ic1)
+                    unk_p = np.where(r1, ip2, ip1)
+                    st["buf"].add(known,
+                                  unk_p // res + offs[unk_c + base],
+                                  unk_p // res + offs[unk_c + base + other])
+
+    imp_whole = {}
+    for res in whole_res:
+        st = state[res]
+        if "buf" in st:
+            st["buf"].close()
+        if st["sparse"]:
+            st["acc"].add_symmetric(*st["base_coo"])
+            imp_whole[res] = st["acc"]
+        else:
+            imp_whole[res] = np.asarray(st["dev"])
 
     return {
         "prefix": prefix,
@@ -611,10 +932,50 @@ def build_haplotype_datasets(
     }
 
 
+def _sym_block_margins(T, s: int, e: int):
+    """(rowsum, row-nnz) of the intra block [s..e]x[s..e] of a symmetric
+    genome-wide matrix stored dense (np [S, S]) or as ``SparseGW``."""
+    if isinstance(T, SparseGW):
+        r, c, v = T.coo()
+        sel = (r >= s) & (r <= e) & (c >= s) & (c <= e)
+        rs = np.zeros(e - s + 1, np.float64)
+        nz = np.zeros(e - s + 1, np.float64)
+        rr, cc, vv = r[sel] - s, c[sel] - s, v[sel]
+        np.add.at(rs, rr, vv)
+        np.add.at(nz, rr, vv != 0)
+        off = rr != cc
+        np.add.at(rs, cc[off], vv[off])
+        np.add.at(nz, cc[off], vv[off] != 0)
+        return rs, nz
+    block = T[s : e + 1, s : e + 1]
+    return block.sum(axis=1), (block != 0).sum(axis=1)
+
+
+def _dir_block_rowsum(H, s: int, e: int):
+    """Literal row sums of the intra block of a (possibly asymmetric)
+    genome-wide matrix stored dense or as ``SparseDirectedGW``."""
+    if isinstance(H, SparseDirectedGW):
+        r, c, v = H.coo()
+        sel = (r >= s) & (r <= e) & (c >= s) & (c <= e)
+        rs = np.zeros(e - s + 1, np.float64)
+        np.add.at(rs, r[sel] - s, v[sel])
+        return rs
+    return H[s : e + 1, s : e + 1].sum(axis=1)
+
+
 def correct_haplotype_datasets(data, genome: Genome,
                                whole_res: Sequence[int],
                                local_res: Sequence[int]):
-    """Two-step corrections → (balanced_whole, balanced_local, gaps)."""
+    """Two-step corrections → (balanced_whole, balanced_local, gaps).
+
+    Whole-genome entries past the dense cap come in as sparse accumulators
+    and leave as corrected ``BlockMatrix`` tensors: the per-chromosome alpha
+    evaluates from COO row margins (``genomewide_alpha_margins``) and the
+    correction runs on the block-sparse asymmetric layout
+    (``sparse_genomewide_correction``, dense-parity tested in
+    tests/test_sparse.py) — matrixBuilding.py:857-901 semantics without
+    ever materializing the [S, S] form.
+    """
     hap = genome.haplotype()
     nc = len(genome.labels)
 
@@ -625,6 +986,33 @@ def correct_haplotype_datasets(data, genome: Genome,
         t_offs = genome.bin_offsets(res)
         h_offs = hap.bin_offsets(res)
         alphas = []
+        if isinstance(H, SparseDirectedGW):
+            for c in genome.labels:
+                s, e = t_offs[c]
+                n = e - s + 1
+                N = pad_to_bucket(n)
+                trs, tnz = _sym_block_margins(T, s, e)
+                ms, me = h_offs["M" + c]
+                ps, pe = h_offs["P" + c]
+                mrs = _dir_block_rowsum(H, ms, me)
+                prs = _dir_block_rowsum(H, ps, pe)
+
+                def _pad(v):
+                    z = np.zeros(N, np.float32)
+                    z[:n] = v
+                    return jnp.asarray(z)
+
+                a = genomewide_alpha_margins(_pad(trs), _pad(tnz), _pad(mrs),
+                                             _pad(prs), jnp.asarray(n))
+                alphas.append(np.asarray(a)[:n])
+            alpha_full = np.concatenate(alphas)
+            alpha_full = np.concatenate([alpha_full, alpha_full])
+            from ..ops.sparse import (asym_blocks_from_coo,
+                                      genomewide_correction_blocks)
+
+            ab = asym_blocks_from_coo(*H.coo(), n=H.S)
+            balanced_whole[res] = genomewide_correction_blocks(ab, alpha_full)
+            continue
         for c in genome.labels:
             s, e = t_offs[c]
             n = e - s + 1
@@ -686,15 +1074,23 @@ def _write_hap_coolers(cooler_dir, prefix, genome, hap, data, balanced_whole,
 
     inter_md = {"onlyIntra": "False"}
     intra_md = {"onlyIntra": "True"}
+
+    def _gw_kwargs(M, dtype):
+        from ..ops.sparse import BlockMatrix, blocks_to_coo
+
+        if isinstance(M, (SparseGW, SparseDirectedGW)):
+            return {"genomewide_coo": M.coo(), "dtype": dtype}
+        if isinstance(M, BlockMatrix):
+            return {"genomewide_coo": blocks_to_coo(M), "dtype": dtype}
+        return {"genomewide": M, "dtype": dtype}
+
     for res in whole_res:
-        write_cooler(tradition, genome, res, {},
-                     genomewide=data["Tradition_Whole"][res], dtype="int",
-                     metadata=inter_md)
-        write_cooler(unimp, hap, res, {},
-                     genomewide=data["UnImputated_Whole"][res], dtype="int",
-                     metadata=inter_md)
-        write_cooler(imp, hap, res, {}, genomewide=balanced_whole[res],
-                     dtype="float", metadata=inter_md)
+        write_cooler(tradition, genome, res, {}, metadata=inter_md,
+                     **_gw_kwargs(data["Tradition_Whole"][res], "int"))
+        write_cooler(unimp, hap, res, {}, metadata=inter_md,
+                     **_gw_kwargs(data["UnImputated_Whole"][res], "int"))
+        write_cooler(imp, hap, res, {}, metadata=inter_md,
+                     **_gw_kwargs(balanced_whole[res], "float"))
     for res in local_res:
         write_cooler(tradition, genome, res, data["Tradition_Local"][res],
                      dtype="int", metadata=intra_md)

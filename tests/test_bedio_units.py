@@ -56,6 +56,7 @@ def test_allelic_tags_and_stream(tmp_path, genome):
                  "1\t500\t1\t600\tR2\n")
     c1, p1, c2, p2, tag = read_allelic_bed([str(p)], genome, with_tag=True)
     assert tag.tolist() == [TAG_BOTH, TAG_R1, TAG_R2]
-    parts = list(iter_allelic_bed([str(p)], genome, True, read_bytes=16))
+    parts = list(iter_allelic_bed([str(p)], genome, True, chunk_rows=1))
+    assert len(parts) == 3, "chunk_rows must bound the streamed block size"
     streamed = np.concatenate([pt[4] for pt in parts])
     np.testing.assert_array_equal(streamed, tag)

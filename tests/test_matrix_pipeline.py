@@ -212,3 +212,29 @@ def test_bincount_and_scatter_paths_agree(monkeypatch):
     assert set(intra_h) == set(intra_d)
     for c in intra_h:
         np.testing.assert_array_equal(intra_h[c], intra_d[c])
+
+
+def test_haplotype_build_is_chunk_size_invariant(tmp_path, rng, genome,
+                                                 monkeypatch):
+    """The streaming ingestion (HICHAP_ALLELIC_CHUNK rows per block, bounded
+    host memory) must give byte-identical matrices at any chunk size —
+    including the dense-vs-host-bincount and single-side/vote stages."""
+    from hichap_master_tpu.pipeline.matrix import build_haplotype_datasets
+    from hichap_master_tpu.testing.synthetic import write_allelic_beds
+
+    rep = tmp_path / "beds"
+    write_allelic_beds(str(rep), "Cell_R1_", genome, rng, n=900)
+
+    kw = dict(whole_res=[100_000], local_res=[100_000],
+              imputation_region=1_000_000, imputation_min=1,
+              imputation_ratio=0.5)
+    base = build_haplotype_datasets(str(rep), genome, **kw)
+    monkeypatch.setenv("HICHAP_ALLELIC_CHUNK", "7")
+    tiny = build_haplotype_datasets(str(rep), genome, **kw)
+
+    for key in ("Tradition_Whole", "UnImputated_Whole", "Imputated_Whole"):
+        np.testing.assert_array_equal(base[key][100_000], tiny[key][100_000])
+    for key in ("Tradition_Local", "UnImputated_Local", "Imputated_Local"):
+        for c in base[key][100_000]:
+            np.testing.assert_array_equal(base[key][100_000][c],
+                                          tiny[key][100_000][c])

@@ -115,12 +115,65 @@ def test_sparse_pipeline_replicate_merge(tmp_path, rng, genome, monkeypatch):
     assert v.sum() == sum(len(c[0]) for c in contacts)
 
 
-def test_haplotype_dense_cap_error(tmp_path, rng, genome, monkeypatch):
-    from hichap_master_tpu.pipeline.matrix import build_haplotype_datasets
+def _hap_cooler_arrays(outdir, res_w, res_l):
+    """(tradition, unimp) int pixel tables + imp float pixels + weights."""
+    got = {}
+    for kind in ("Traditional_Multi", "UnImputated_Haplotype_Multi",
+                 "Imputated_Haplotype_Multi"):
+        path = None
+        for f in sorted((outdir / "Cooler").iterdir()):
+            if f.name.endswith(kind + ".cool") and (
+                    kind != "Imputated_Haplotype_Multi"
+                    or "UnImputated" not in f.name):
+                path = f
+        assert path is not None, kind
+        for res in (res_w, res_l):
+            got[(kind, res)] = _pixels(path, res)
+        if kind == "Traditional_Multi":
+            with h5py.File(path, "r") as f:
+                got[("weights", res_w)] = f[f"/{res_w}/bins/weight"][:]
+    return got
+
+
+def test_haplotype_sparse_matches_dense(tmp_path, rng, genome, monkeypatch):
+    """Haplotype construction past the dense cap: the block-sparse path
+    (SparseGW/SparseDirectedGW + sparse disk vote + sparse genome-wide
+    correction) must reproduce the dense path's coolers — int tables
+    byte-identical, corrected floats to f32 tolerance.  This is the diploid
+    genome-wide capability the reference caps at wholeRes >= 2 Mb
+    (HiCHap/matrixBuilding.py:1302-1493, README.md:312-318)."""
+    from hichap_master_tpu.pipeline.matrix import haplotype_matrix_construction
     from hichap_master_tpu.testing.synthetic import write_allelic_beds
 
-    monkeypatch.setattr(matrix_mod, "DENSE_GW_MAX_BINS", 4)
-    write_allelic_beds(str(tmp_path / "beds"), "Cell_R1_", genome, rng, n=50)
-    with pytest.raises(ValueError, match="sparse_ice_balance"):
-        build_haplotype_datasets(str(tmp_path / "beds"), genome,
-                                 whole_res=[100_000], local_res=[])
+    res_w, res_l = 100_000, 100_000
+    genome.write(tmp_path / "genomeSize")
+    rep = tmp_path / "rep1"
+    write_allelic_beds(str(rep), "Cell_R1_", genome, rng, n=6000)
+
+    kw = dict(
+        rep_paths=[str(rep)], genome_size=str(tmp_path / "genomeSize"),
+        whole_res=[res_w], local_res=[res_l],
+        # region >> res so the disk vote actually runs at this scale
+        imputation_region=1_000_000, imputation_min=1, imputation_ratio=0.5)
+
+    haplotype_matrix_construction(str(tmp_path / "dense"), **kw)
+    dense = _hap_cooler_arrays(tmp_path / "dense", res_w, res_l)
+
+    monkeypatch.setattr(matrix_mod, "DENSE_GW_MAX_BINS", 1)
+    haplotype_matrix_construction(str(tmp_path / "sparse"), **kw)
+    sparse = _hap_cooler_arrays(tmp_path / "sparse", res_w, res_l)
+
+    for kind in ("Traditional_Multi", "UnImputated_Haplotype_Multi"):
+        for res in (res_w, res_l):
+            for a, b in zip(dense[(kind, res)], sparse[(kind, res)]):
+                np.testing.assert_array_equal(a, b)
+    # corrected floats: same pixel set, values to f32 accumulation noise
+    for res in (res_w, res_l):
+        d = dense[("Imputated_Haplotype_Multi", res)]
+        s = sparse[("Imputated_Haplotype_Multi", res)]
+        np.testing.assert_array_equal(d[0], s[0])
+        np.testing.assert_array_equal(d[1], s[1])
+        np.testing.assert_allclose(d[2], s[2], rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(dense[("weights", res_w)],
+                               sparse[("weights", res_w)],
+                               rtol=1e-4, equal_nan=True)
