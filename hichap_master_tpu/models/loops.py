@@ -199,9 +199,18 @@ def _allelic_prefilter(xi, yi, N: int, gap: Optional[np.ndarray],
 
 def _pcaller_prep(rows, cols, vals, weights, n: int, res: int, params,
                   allelic: bool = False,
-                  gap: Optional[np.ndarray] = None) -> dict:
+                  gap: Optional[np.ndarray] = None,
+                  packed: bool = True) -> dict:
     """Host-side preparation shared by the single- and multi-chromosome
-    pcaller paths: balance, expected curve, band/pixel padding."""
+    pcaller paths: balance, expected curve, band/pixel padding.
+
+    The 1-core host is the serial floor of the loop stage (~0.7 s x 23
+    chromosomes at hg19 10 kb), so work the device path never reads is
+    skipped or deferred: the balanced band / column copies (``bb``/``bc``)
+    exist only for the non-packed prefix path (``packed=False``), and the
+    host-post candidate-pixel arrays materialize lazily via
+    ``_ensure_host_pixels`` (the device post derives pixels from the band
+    COO on device and only needs them on compaction-overflow fallback)."""
     from ..core.contacts import pad_to_bucket
 
     pw, ww = params["pw"], params["ww"]
@@ -242,13 +251,16 @@ def _pcaller_prep(rows, cols, vals, weights, n: int, res: int, params,
     cap = 1 << max(bn - 1, 1).bit_length()
     cap = max(cap, int(os.environ.get("HICHAP_LOOP_NNZ_FLOOR", "1")))
     br = np.zeros(cap, np.int32)
-    bc = np.zeros(cap, np.int32)
     bv = np.zeros(cap, np.float32)
-    bb = np.zeros(cap, np.float32)
     br[:bn] = rows[band]
-    bc[:bn] = cols[band]
     bv[:bn] = vals[band]
-    bb[:bn] = bal_vals[band]
+    if packed:
+        bc = bb = None  # device recomputes the balanced band from bv + w32
+    else:
+        bc = np.zeros(cap, np.int32)
+        bb = np.zeros(cap, np.float32)
+        bc[:bn] = cols[band]
+        bb[:bn] = bal_vals[band]
     # slim upload form: the diagonal fits uint8/uint16 and the balanced
     # values recompute on device from bv + weights (ops/loops_packed)
     bd = np.zeros(cap, np.uint8 if num <= 255 else np.uint16)
@@ -260,33 +272,76 @@ def _pcaller_prep(rows, cols, vals, weights, n: int, res: int, params,
 
     # candidate pixels straight from the COO (diag removed by d >= ww)
     sel = (d_all >= ww) & (d_all <= maxapart // res)
-    xi = rows[sel].astype(np.int64)
-    yi = cols[sel].astype(np.int64)
-    o_val = vals[sel].astype(np.float64)
-    em_val = predictE[np.clip(d_all[sel] - ww, 0, num - ww - 1)].astype(
-        np.float64)
 
     # gaps: banded raw row sums == 0 (diag-zeroed upper band)
     rs = np.bincount(rows[(d_all > 0) & (d_all < num)],
                      weights=vals[(d_all > 0) & (d_all < num)], minlength=n)
     gaps = set(np.flatnonzero(rs == 0).tolist())
 
-    band_keep = None
+    pr = dict(n=n, N=N, P=P, num=num, ww=ww, pw=pw, maxww=maxww, sig=sig,
+              predictE=predictE, br=br, bc=bc, bv=bv, bb=bb, cap=cap,
+              bd=bd, w32=w32, band_keep=None, dmax=maxapart // res,
+              biases=biases, gaps=gaps)
+    pr["_raw"] = (rows, cols, vals, d_all, sel)
+
     if allelic:
-        keep = _allelic_prefilter(xi, yi, N, gap, rows, cols, vals)
+        _ensure_host_pixels(pr)  # the prefilter needs the pixel arrays
+        keep = _allelic_prefilter(pr["xi"], pr["yi"], N, gap, rows, cols,
+                                  vals)
         # the same filter in band order, for the on-device pixel derivation
         band_keep = np.zeros(cap, bool)
         band_keep[np.flatnonzero((bd[:bn] >= ww)
                                  & (bd[:bn] <= maxapart // res))[keep]] = \
             True
-        xi, yi, o_val, em_val = xi[keep], yi[keep], o_val[keep], em_val[keep]
+        pr["band_keep"] = band_keep
+        for k in ("xi", "yi", "o_val", "em_val"):
+            pr[k] = pr[k][keep]
+        npix = pr["xi"].size
+        _pad_host_pixels(pr, npix)
+    else:
+        npix = int(sel.sum())
 
-    log.log(21, "observed contact number: %d", xi.size)
-    npix = xi.size
+    log.log(21, "observed contact number: %d", npix)
+    pr["npix"] = npix
     # pad pixel arrays to a power of two so compiled graphs are reused
     # across chromosomes
     P2 = 1 << max(npix - 1, 1).bit_length()
     P2 = max(P2, int(os.environ.get("HICHAP_LOOP_NNZ_FLOOR", "1")))
+    pr["P2"] = P2
+
+    from ..ops.loops_packed import pack_margins
+    e_lo, _e_hi, x_pad = pack_margins(maxww)
+    Xp = pad_to_bucket(n + 2 * x_pad,
+                       int(os.environ.get("HICHAP_LOOP_XP_BUCKET", "512")))
+    pr.update(e_lo=e_lo, x_pad=x_pad, Xp=Xp)
+    return pr
+
+
+def _ensure_host_pixels(pr: dict) -> None:
+    """Materialize the host-post candidate-pixel arrays on demand.
+
+    The device post never reads them (pixels derive from the band COO on
+    device), so the prep defers these O(nnz) gathers; the host post path
+    and the non-packed prefix path call this first."""
+    if "xi" in pr:
+        return
+    rows, cols, vals, d_all, sel = pr["_raw"]
+    num, ww = pr["num"], pr["ww"]
+    pr["xi"] = rows[sel].astype(np.int64)
+    pr["yi"] = cols[sel].astype(np.int64)
+    pr["o_val"] = vals[sel].astype(np.float64)
+    pr["em_val"] = pr["predictE"][
+        np.clip(d_all[sel] - ww, 0, num - ww - 1)].astype(np.float64)
+    if "P2" in pr:  # past prep: build the padded forms too
+        _pad_host_pixels(pr, pr["npix"])
+
+
+def _pad_host_pixels(pr: dict, npix: int) -> None:
+    xi, yi = pr["xi"], pr["yi"]
+    P2 = pr.get("P2")
+    if P2 is None:
+        P2 = 1 << max(npix - 1, 1).bit_length()
+        P2 = max(P2, int(os.environ.get("HICHAP_LOOP_NNZ_FLOOR", "1")))
     xpad = np.zeros(P2, xi.dtype)
     ypad = np.zeros(P2, yi.dtype)
     vpad = np.zeros(P2, bool)
@@ -295,19 +350,7 @@ def _pcaller_prep(rows, cols, vals, weights, n: int, res: int, params,
     ypad[:npix] = yi
     vpad[:npix] = True
     epad[:npix] = (yi - xi).astype(np.int32)
-
-    from ..ops.loops_packed import pack_margins
-    e_lo, _e_hi, x_pad = pack_margins(maxww)
-    Xp = pad_to_bucket(n + 2 * x_pad,
-                       int(os.environ.get("HICHAP_LOOP_XP_BUCKET", "512")))
-
-    return dict(n=n, N=N, P=P, num=num, ww=ww, pw=pw, maxww=maxww, sig=sig,
-                predictE=predictE, br=br, bc=bc, bv=bv, bb=bb, cap=cap,
-                bd=bd, w32=w32, band_keep=band_keep,
-                dmax=maxapart // res,
-                xi=xi, yi=yi, o_val=o_val, em_val=em_val, npix=npix, P2=P2,
-                xpad=xpad, ypad=ypad, vpad=vpad, epad=epad, biases=biases,
-                gaps=gaps, e_lo=e_lo, x_pad=x_pad, Xp=Xp)
+    pr.update(xpad=xpad, ypad=ypad, vpad=vpad, epad=epad)
 
 
 def _packed_inputs(pr: dict):
@@ -438,7 +481,7 @@ def pcaller_chrom_coo(rows, cols, vals, weights, n: int, res: int, params,
     plus per-pixel vectors.
     """
     pr = _pcaller_prep(rows, cols, vals, weights, n, res, params,
-                       allelic=allelic, gap=gap)
+                       allelic=allelic, gap=gap, packed=packed)
     ww, pw, maxww, num = pr["ww"], pr["pw"], pr["maxww"], pr["num"]
 
     if packed:
@@ -448,6 +491,7 @@ def pcaller_chrom_coo(rows, cols, vals, weights, n: int, res: int, params,
             ww, maxww, pw, num, pr["e_lo"], pr["x_pad"])
         dev = (epad_d, xpad_d, vpad_d, D_raw)
     else:
+        _ensure_host_pixels(pr)
         S_raw, S_bal, S_exp = _build_band_prefixes(
             jnp.asarray(pr["br"]), jnp.asarray(pr["bc"]),
             jnp.asarray(pr["bv"]), jnp.asarray(pr["bb"]),
@@ -681,6 +725,7 @@ def _pcaller_post(pr: dict, resolved, bsk, bek, bsy, bey, res: int,
         if got is not None:
             return got
     npix, N, sig = pr["npix"], pr["N"], pr["sig"]
+    _ensure_host_pixels(pr)
     xi, yi = pr["xi"], pr["yi"]
     o_val, em_val = pr["o_val"], pr["em_val"]
     biases, gaps = pr["biases"], pr["gaps"]

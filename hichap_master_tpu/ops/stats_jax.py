@@ -47,13 +47,10 @@ def _segmented_reverse_cummin(vals, segs):
     return out[::-1]
 
 
-@functools.partial(jax.jit)
-def poisson_bh_chunked_jax(o, e, valid):
-    """pv, qv for every pixel; invalid/unchunked pixels get 1.0.
+def _pv_seg(o, e, valid):
+    """Elementwise Poisson survival + λ-chunk assignment (any shape).
 
-    o, e : float arrays (observed counts, expected λ)
-    valid: bool mask of live pixels
-    """
+    Returns (pv, seg) with dead pixels at pv = 1.0, seg = -1."""
     o = o.astype(jnp.float32)
     e = e.astype(jnp.float32)
     edges = _edges()
@@ -62,9 +59,11 @@ def poisson_bh_chunked_jax(o, e, valid):
     ok &= e != edges[jnp.clip(c, 0, _MAXBIN)]             # open lower bound
     rv = edges[jnp.clip(c, 0, _MAXBIN - 1) + 1]
     pv = jnp.where(ok, gammainc(jnp.floor(o) + 1.0, rv), 1.0)
+    return pv, jnp.where(ok, c, -1)
 
-    # per-chunk BH: sort by (chunk, p) with dead pixels parked in seg -1
-    seg = jnp.where(ok, c, -1)
+
+def _bh_segmented(pv, seg):
+    """Per-segment BH q-values in one lexsort (seg == -1 → dead, q = 1)."""
     order = jnp.lexsort((pv, seg))
     ps = pv[order]
     ss = seg[order]
@@ -80,8 +79,18 @@ def poisson_bh_chunked_jax(o, e, valid):
     ranked = ps * seg_size.astype(ps.dtype) / rank.astype(ps.dtype)
     qs = jnp.clip(_segmented_reverse_cummin(ranked, ss), 0.0, 1.0)
     qs = jnp.where(live, qs, 1.0)
-    qv = jnp.zeros_like(ps).at[order].set(qs)
-    return pv, qv
+    return jnp.zeros_like(ps).at[order].set(qs)
+
+
+@functools.partial(jax.jit)
+def poisson_bh_chunked_jax(o, e, valid):
+    """pv, qv for every pixel; invalid/unchunked pixels get 1.0.
+
+    o, e : float arrays (observed counts, expected λ)
+    valid: bool mask of live pixels
+    """
+    pv, seg = _pv_seg(o, e, valid)
+    return pv, _bh_segmented(pv, seg)
 
 
 @functools.partial(jax.jit, static_argnames=("ww", "e_off", "x_off"))
@@ -140,18 +149,22 @@ def _post_prep_batch(resolved, bek, bey, epad, xpad, vpad, o_map, pE,
                          biases, gap_cs, ns)
 
 
+@jax.jit
 def poisson_bh_chunked_jax_batch(o, e, valid):
-    """poisson_bh_chunked_jax over a leading chromosome axis.
+    """poisson_bh_chunked_jax over a leading chromosome axis — ONE dispatch.
 
-    Deliberately a Python loop over the group, not a vmapped jit: the
-    vmapped sort-heavy BH graph at [G, millions] OOM-killed the remote
-    TPU compiler, while the per-chromosome program is the one already
-    compiled everywhere else.  Launches are async, so the loop costs
-    dispatch overhead only."""
-    outs = [poisson_bh_chunked_jax(o[i], e[i], valid[i])
-            for i in range(o.shape[0])]
-    return (jnp.stack([p for p, _ in outs]),
-            jnp.stack([q for _, q in outs]))
+    The chromosome id folds into the λ-chunk segment key and the whole
+    [G, P2] group flattens into a single segmented lexsort; per-segment BH
+    over disjoint segments equals the per-chromosome result exactly.  (A
+    vmapped formulation — G independent [P2] sort graphs — OOM-killed the
+    remote TPU compiler; the flat segmented sort is one standard program
+    and replaces the earlier per-chromosome Python dispatch loop.)"""
+    G, P2 = o.shape
+    pv, seg = _pv_seg(o, e, valid)
+    g = jnp.arange(G, dtype=jnp.int32)[:, None]
+    segf = jnp.where(seg >= 0, g * _MAXBIN + seg, -1).reshape(-1)
+    qv = _bh_segmented(pv.reshape(-1), segf).reshape(G, P2)
+    return pv, qv
 
 
 @functools.partial(jax.jit, static_argnames=("cap_out",))
