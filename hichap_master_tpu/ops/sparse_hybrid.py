@@ -1,0 +1,229 @@
+"""Hybrid genome-wide layout: dense tiles + scattered-COO remainder.
+
+The pure tile layout (ops/sparse.py) is built for Hi-C's banded intra
+mass — occupied tiles grow linearly with genome length.  REAL genome-wide
+data also carries scattered inter-chromosomal pixels (tens of millions of
+mostly count-1 entries spread over the whole [S, S] plane at 10 kb); tiling
+those would touch nearly every off-band tile coordinate (~2.7M tiles,
+~180 GB for hg19) — the layout the reference never needs because it caps
+genome-wide matrices at coarse resolutions and shells balancing out to
+``cooler balance`` (HiCHap/matrixBuilding.py:699-714, README.md:312-318).
+
+Here the matrix splits by tile occupancy:
+
+  * tiles with >= ``min_tile_occ`` pixels stay dense [K, T, T] (MXU matvec,
+    ops/sparse.block_sym_matvec);
+  * the remainder lives as a row-sorted directed COO whose per-iteration
+    marginal is computed WITHOUT any scatter: gather b at the column ids,
+    multiply by the values, take a compensated (two-float) prefix sum, and
+    difference it at the precomputed per-row segment boundaries — the same
+    prefix-range-query idea as ops/sparse_impute, but over floats, so the
+    scan carries a (hi, lo) error term to keep ~2^-48 relative precision
+    where a plain f32 cumsum over 10^8 elements would lose the row sums to
+    cancellation.  No scatter-add ever runs (TPU scatter serializes per
+    update), and every step is a dense gather/scan XLA fuses well.
+
+``hybrid_ice_balance`` then mirrors ``sparse_ice_balance`` (cooler-default
+filters: ignore-diags, MAD-max, min-nnz) with the marginal summed from both
+parts, so balancing true genome-wide 10 kb matrices with full trans content
+runs on one chip at O(nnz) memory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .masked import masked_mean, masked_median, masked_var
+from .sparse import BlockMatrix, block_sym_matvec, blocks_from_coo
+
+
+@dataclasses.dataclass
+class HybridGW:
+    """Tiled part + row-sorted scattered remainder of a symmetric matrix.
+
+    The scattered arrays are DIRECTED (both orientations of each off-
+    diagonal pixel, diagonal once) so one row-marginal pass covers the
+    symmetric contribution.  ``bounds[i]:bounds[i+1]`` indexes row i's
+    pixels in the sorted arrays; ``P`` is the padded pixel count."""
+
+    bm: BlockMatrix
+    sc_cols: np.ndarray   # [P] int32 (padded with 0)
+    sc_vals: np.ndarray   # [P] f32  (padded with 0)
+    bounds: np.ndarray    # [N+1] int32 into the sorted pixel arrays
+    sc_nnz: np.ndarray    # [N] f32, scattered nonzero count per row
+    n: int
+
+    @property
+    def P(self) -> int:
+        return int(self.sc_cols.size)
+
+
+def hybrid_from_coo(rows, cols, vals, n: int, T: int = 128,
+                    min_tile_occ: int = 256, ignore_diags: int = 1,
+                    dtype=np.float32) -> HybridGW:
+    """Split upper-triangle COO by tile occupancy (host-side, one pass).
+
+    ``ignore_diags`` pixels (|i-j| < d) are dropped from the scattered part
+    here (the tiled part zeroes them inside ``hybrid_ice_balance`` /
+    ``sparse_ice_balance`` as usual) — both parts then agree with the
+    cooler-default ignore rule."""
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    vals = np.asarray(vals, dtype)
+    if rows.size and (rows > cols).any():
+        raise ValueError("hybrid_from_coo expects upper-triangle pixels")
+    R = (n + T - 1) // T
+    bid = (rows // T) * R + cols // T
+    uniq, inv, occ = np.unique(bid, return_inverse=True,
+                               return_counts=True)
+    dense_sel = occ[inv] >= min_tile_occ
+
+    bm = blocks_from_coo(rows[dense_sel], cols[dense_sel], vals[dense_sel],
+                         n, T, dtype)
+
+    r, c, v = rows[~dense_sel], cols[~dense_sel], vals[~dense_sel]
+    live = (np.abs(r - c) >= ignore_diags) & (v != 0)
+    r, c, v = r[live], c[live], v[live]
+    off = r != c
+    dr = np.concatenate([r, c[off]])
+    dc = np.concatenate([c, r[off]])
+    dv = np.concatenate([v, v[off]])
+    order = np.argsort(dr, kind="stable")
+    dr, dc, dv = dr[order], dc[order], dv[order]
+    bounds = np.searchsorted(dr, np.arange(n + 1)).astype(np.int32)
+    sc_nnz = (bounds[1:] - bounds[:-1]).astype(np.float32)
+    # pad to a power of two: one compiled scan serves growing inputs
+    P = 1 << max(int(dr.size) - 1, 1).bit_length()
+    sc_cols = np.zeros(P, np.int32)
+    sc_vals = np.zeros(P, dtype)
+    sc_cols[: dc.size] = dc
+    sc_vals[: dv.size] = dv
+    return HybridGW(bm=bm, sc_cols=sc_cols, sc_vals=sc_vals, bounds=bounds,
+                    sc_nnz=sc_nnz, n=n)
+
+
+# ------------------------------------------------ compensated prefix sums
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _df_combine(x, y):
+    """Double-float addition (associative to ~2^-48): carries the rounding
+    error of the running prefix so segment differences of a 10^8-element
+    f32 prefix stay exact to ~1e-7 relative."""
+    xh, xl = x
+    yh, yl = y
+    s, e = _two_sum(xh, yh)
+    e = e + xl + yl
+    hi = s + e
+    return hi, e - (hi - s)
+
+
+def _segment_sums(products: jnp.ndarray, bounds: jnp.ndarray) -> jnp.ndarray:
+    """[N] per-row sums of ``products`` (row-sorted) via a compensated
+    prefix scan + boundary differences — no scatter."""
+    zero = jnp.zeros((1,), products.dtype)
+    p = jnp.concatenate([zero, products])
+    hi, lo = jax.lax.associative_scan(_df_combine, (p, jnp.zeros_like(p)))
+    lo32 = bounds.astype(jnp.int32)
+    dh = hi[lo32[1:]] - hi[lo32[:-1]]
+    dl = lo[lo32[1:]] - lo[lo32[:-1]]
+    return dh + dl
+
+
+def _scattered_marginal(sc_cols, sc_vals, bounds, b) -> jnp.ndarray:
+    """[N] marginal contribution of the scattered pixels: sum_p v_p*b[c_p]
+    per row.  Padding pixels carry v=0 and contribute nothing."""
+    return _segment_sums(sc_vals * b[sc_cols], bounds)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("R", "T", "ignore_diags", "mad_max", "min_nnz",
+                     "min_count", "tol", "max_iters", "reduce"),
+)
+def hybrid_ice_balance(tiles, brow, bcol, sc_cols, sc_vals, bounds, sc_nnz,
+                       n, *, R: int, T: int, ignore_diags: int = 1,
+                       mad_max: int = 5, min_nnz: int = 10,
+                       min_count: int = 0, tol: float = 1e-5,
+                       max_iters: int = 200, reduce: str = "onehot"):
+    """ICE over the hybrid layout — ``sparse_ice_balance`` semantics with
+    the marginal = tile matvec + scattered prefix-sum contribution.
+    ``bounds``/``sc_nnz`` must be padded to R*T(+1) (1.0-free: zeros)."""
+    dtype = tiles.dtype
+    N = R * T
+
+    if ignore_diags > 0:
+        li = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+        lj = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        gdiff = ((bcol - brow).astype(jnp.int32)[:, None, None] * T
+                 + (lj - li)[None])
+        tiles = jnp.where(jnp.abs(gdiff) < ignore_diags, 0.0, tiles)
+
+    valid = jnp.arange(N) < n
+    ones = jnp.where(valid, jnp.ones((), dtype), 0.0)
+
+    def marginal(t, b):
+        return (block_sym_matvec(t, brow, bcol, b, R=R, T=T, reduce=reduce)
+                + _scattered_marginal(sc_cols, sc_vals, bounds, b))
+
+    marg0 = marginal(tiles, ones) * ones
+    nnz = (block_sym_matvec((tiles != 0).astype(dtype), brow, bcol, ones,
+                            R=R, T=T, reduce=reduce) + sc_nnz)
+    keep = valid & (nnz >= min_nnz) & (marg0 >= min_count)
+
+    if mad_max > 0:
+        sel = keep & (marg0 > 0)
+        logm = jnp.where(sel, jnp.log(jnp.maximum(marg0, 1e-300)), 0.0)
+        med = masked_median(logm, sel)
+        dev = masked_median(jnp.abs(logm - med), sel)
+        cutoff = jnp.exp(med - mad_max * dev)
+        keep = keep & (marg0 >= cutoff)
+
+    b0 = jnp.where(keep, jnp.ones((), dtype), 0.0)
+
+    def body(state):
+        it, b, _, _ = state
+        marg = marginal(tiles, b) * b
+        nz = marg != 0
+        mean_nz = masked_mean(marg, nz)
+        var = masked_var(marg, nz)
+        margn = marg / jnp.where(mean_nz != 0, mean_nz, 1.0)
+        margn = jnp.where(margn == 0, 1.0, margn)
+        return it + 1, b / margn, var, mean_nz
+
+    def cond(state):
+        it, _, var, _ = state
+        return (var >= tol) & (it < max_iters)
+
+    init = (jnp.zeros((), jnp.int32), b0, jnp.asarray(jnp.inf, dtype),
+            jnp.ones((), dtype))
+    iters, b, var, scale = jax.lax.while_loop(cond, body, init)
+
+    w = b / jnp.sqrt(jnp.where(scale > 0, scale, 1.0))
+    w = jnp.where(keep & (b != 0), w, jnp.nan)
+    return w, {"scale": scale, "var": var, "iters": iters,
+               "converged": var < tol}
+
+
+def ice_balance_hybrid(h: HybridGW, **kw):
+    """Convenience wrapper; returns (weights[:n], stats)."""
+    bm = h.bm
+    N = bm.R * bm.T
+    bounds = np.full(N + 1, h.bounds[-1], np.int32)
+    bounds[: h.bounds.size] = h.bounds
+    sc_nnz = np.zeros(N, np.float32)
+    sc_nnz[: h.sc_nnz.size] = h.sc_nnz
+    w, stats = hybrid_ice_balance(
+        jnp.asarray(bm.tiles), jnp.asarray(bm.brow), jnp.asarray(bm.bcol),
+        jnp.asarray(h.sc_cols), jnp.asarray(h.sc_vals),
+        jnp.asarray(bounds), jnp.asarray(sc_nnz), jnp.asarray(h.n),
+        R=bm.R, T=bm.T, **kw)
+    return w[: h.n], stats

@@ -630,13 +630,16 @@ def _write_weights(path: str, genome: Genome, res: int, cis_only: bool) -> None:
             ws.append(np.asarray(w)[:n])
         weights = np.concatenate(ws)
     elif genome.total_bins(res) > DENSE_GW_MAX_BINS:
-        # block-sparse genome-wide balance (the dense [S, S] form would be
-        # hundreds of GB at 10 kb); works directly in cooler bin space
-        from ..ops.sparse import blocks_from_coo, ice_balance_blocks
+        # hybrid genome-wide balance (the dense [S, S] form would be
+        # hundreds of GB at 10 kb): banded mass stays in dense tiles,
+        # scattered inter-chromosomal pixels in sorted COO with a
+        # prefix-sum marginal — O(nnz) memory for REAL data, where the
+        # pure tile layout would touch ~every off-band tile
+        from ..ops.sparse_hybrid import hybrid_from_coo, ice_balance_hybrid
 
         b1, b2, v = r.pixels_coo()
-        bm = blocks_from_coo(b1, b2, v.astype(np.float32), r.nbins)
-        w, _ = ice_balance_blocks(bm)
+        h = hybrid_from_coo(b1, b2, v.astype(np.float32), r.nbins)
+        w, _ = ice_balance_hybrid(h)
         weights = np.asarray(w)[: r.nbins]
     else:
         Mj, S = r.genomewide_device()

@@ -75,6 +75,20 @@ def run_parity(dense_reads: bool, scale: int = 1) -> None:
 
 
 def main() -> None:
+    import os
+
+    import jax
+
+    # persistent compile cache: the tunneled remote compile costs minutes
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
     for dense_reads in (True, False):
         run_parity(dense_reads)
     print("PALLAS_PARITY_OK")

@@ -1,0 +1,96 @@
+"""Hybrid (tiles + scattered COO) genome-wide layout — the representation
+for REAL genome-wide matrices whose inter-chromosomal pixels would explode
+the pure tile layout (ops/sparse_hybrid.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hichap_master_tpu.ops.balance import ice_balance
+from hichap_master_tpu.ops.sparse import blocks_to_dense
+from hichap_master_tpu.ops.sparse_hybrid import (HybridGW, _segment_sums,
+                                                 hybrid_from_coo,
+                                                 ice_balance_hybrid)
+
+
+def _mixed_matrix(rng, n, band=40, n_scatter=800):
+    """Banded intra-like mass + scattered far-field singles."""
+    i = np.arange(n)
+    d = np.abs(np.subtract.outer(i, i))
+    M = (rng.poisson(50.0 / (d + 1.0)) * (d < band)).astype(np.float64)
+    r = rng.integers(0, n, n_scatter)
+    c = rng.integers(0, n, n_scatter)
+    np.add.at(M, (r, c), 1.0)
+    M = np.triu(M) + np.triu(M, 1).T
+    return M
+
+
+def _upper_coo(M):
+    iu = np.triu_indices(M.shape[0])
+    v = M[iu]
+    nz = v != 0
+    return iu[0][nz], iu[1][nz], v[nz]
+
+
+def test_segment_sums_match_float64(rng):
+    # adversarial: big positive prefix magnitude, small per-row sums —
+    # a plain f32 cumsum difference loses these to cancellation
+    P, N = 200_000, 512
+    vals = rng.uniform(0.5, 1.5, P).astype(np.float32) * 100.0
+    rows = np.sort(rng.integers(0, N, P))
+    bounds = np.searchsorted(rows, np.arange(N + 1)).astype(np.int32)
+    got = np.asarray(_segment_sums(jnp.asarray(vals), jnp.asarray(bounds)))
+    want = np.zeros(N)
+    np.add.at(want, rows, vals.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # sanity: the naive f32 prefix diff would NOT meet this tolerance
+    cum = np.concatenate([[0], np.cumsum(vals, dtype=np.float32)])
+    naive = cum[bounds[1:]] - cum[bounds[:-1]]
+    assert np.abs(naive - want).max() > np.abs(got - want).max() * 10
+
+
+def test_hybrid_split_reconstructs_matrix(rng):
+    n = 300
+    M = _mixed_matrix(rng, n)
+    h = hybrid_from_coo(*_upper_coo(M), n, T=64, min_tile_occ=64,
+                        ignore_diags=0)
+    dense_part = blocks_to_dense(h.bm)
+    # rebuild scattered: directed list covers both orientations
+    sc = np.zeros((h.bm.R * h.bm.T, h.bm.R * h.bm.T))
+    rows = np.repeat(np.arange(h.bounds.size - 1),
+                     np.diff(h.bounds.astype(np.int64)))
+    np.add.at(sc, (rows, h.sc_cols[: rows.size]), h.sc_vals[: rows.size])
+    got = dense_part + sc[:n, :n]
+    np.testing.assert_allclose(got, M)
+    assert h.bm.K > 1 and h.sc_nnz.sum() > 0, "split degenerate"
+
+
+@pytest.mark.parametrize("min_tile_occ", [1, 64, 10**9])
+def test_hybrid_ice_matches_dense(rng, min_tile_occ):
+    n = 300
+    M = _mixed_matrix(rng, n)
+    w_d, st_d = ice_balance(jnp.asarray(M, jnp.float32), jnp.asarray(n),
+                            max_iters=60, tol=0.0)
+    h = hybrid_from_coo(*_upper_coo(M), n, T=64, min_tile_occ=min_tile_occ)
+    w_h, st_h = ice_balance_hybrid(h, max_iters=60, tol=0.0)
+    w_d = np.asarray(w_d)[:n]
+    w_h = np.asarray(w_h)
+    np.testing.assert_array_equal(np.isnan(w_d), np.isnan(w_h))
+    m = ~np.isnan(w_d)
+    assert m.any()
+    np.testing.assert_allclose(w_h[m], w_d[m], rtol=2e-4)
+
+
+def test_hybrid_memory_stays_on_nnz_scale(rng):
+    # the scenario that kills the pure tile layout: pixels scattered over
+    # the whole plane — hybrid keeps them as COO, not 64x64 tiles
+    n = 4096
+    r = rng.integers(0, n, 5000)
+    c = rng.integers(0, n, 5000)
+    lo, hi = np.minimum(r, c), np.maximum(r, c)
+    keys = np.unique(lo.astype(np.int64) * n + hi)
+    h = hybrid_from_coo(keys // n, keys % n, np.ones(keys.size), n, T=64,
+                        min_tile_occ=32)
+    tile_bytes = h.bm.tiles.size * 4
+    coo_bytes = h.sc_cols.size * 8
+    assert tile_bytes + coo_bytes < 2_000_000, (tile_bytes, coo_bytes)
