@@ -188,8 +188,9 @@ def main():
         out["extras"]["chr1_dense_vs_cpu"] = round(tpu / cpu, 2)
     except Exception as e:  # never lose the primary metric to an extra
         out["extras"]["chr1_dense_error"] = repr(e)[:200]
-    # full-suite seconds at real hg19 sizes, recorded by scripts/perf_hg19.py
-    # (a several-minute measured run — not re-run inside the bench)
+    # recorded multi-minute measured runs (not re-run inside the bench):
+    # .perf_hg19.json — analysis suite at real hg19 sizes (perf_hg19.py);
+    # .perf_e2e.json — TRUE end-to-end beds→coolers→calls (perf_e2e.py)
     rec = os.path.join(_REPO, ".perf_hg19.json")
     if os.path.exists(rec):
         try:
@@ -199,6 +200,18 @@ def main():
                 out.setdefault("extras", {})["hg19_fullsuite_warm_s"] = \
                     rj.get("total_s")
                 out["extras"]["hg19_fullsuite"] = "recorded"
+        except Exception:
+            pass
+    rec = os.path.join(_REPO, ".perf_e2e.json")
+    if os.path.exists(rec):
+        try:
+            with open(rec) as f:
+                rj = json.load(f)
+            if rj.get("scale_divisor") == 1:
+                ex = out.setdefault("extras", {})
+                ex["hg19_e2e_s"] = rj.get("total_s")
+                ex["hg19_e2e_pairs"] = rj.get("pairs")
+                ex["hg19_e2e_parse_only_s"] = rj.get("parse_only_s")
         except Exception:
             pass
     print(json.dumps(out))
