@@ -39,15 +39,12 @@ from ..io.bedio import (
     discover_allelic_beds,
     iter_allelic_bed,
     iter_valid_bed,
-    read_allelic_bed,
 )
-from ..io.cooler import CoolerReader, CoolerWriter, write_cooler
+from ..io.cooler import CoolerReader, write_cooler
 from ..ops.balance import ice_balance
 from ..ops.binning import (
     bin_genomewide,
     bin_genomewide_bins,
-    bin_genomewide_directed,
-    bin_genomewide_single_side_intra,
     bin_genomewide_single_triangle_bins,
     bin_intra,
     bin_intra_single_side,
