@@ -97,8 +97,12 @@ def hybrid_from_coo(rows, cols, vals, n: int, T: int = 128,
     dr, dc, dv = dr[order], dc[order], dv[order]
     bounds = np.searchsorted(dr, np.arange(n + 1)).astype(np.int32)
     sc_nnz = (bounds[1:] - bounds[:-1]).astype(np.float32)
-    # pad to a power of two: one compiled scan serves growing inputs
-    P = 1 << max(int(dr.size) - 1, 1).bit_length()
+    # pad to a size-scaled granularity (1/8 octave, capped at 2^20): shape
+    # churn (and thus recompiles) stays rare while padding waste is bounded
+    # at ~12% — the earlier power-of-two rule DOUBLED the scattered work at
+    # the hg19 e2e scale (33.6M pixels padded to 67.1M)
+    g = max(1024, min(1 << 20, 1 << max(int(dr.size).bit_length() - 3, 0)))
+    P = max(g, -(-int(dr.size) // g) * g)
     sc_cols = np.zeros(P, np.int32)
     sc_vals = np.zeros(P, dtype)
     sc_cols[: dc.size] = dc
@@ -128,14 +132,50 @@ def _df_combine(x, y):
 
 def _segment_sums(products: jnp.ndarray, bounds: jnp.ndarray) -> jnp.ndarray:
     """[N] per-row sums of ``products`` (row-sorted) via a compensated
-    prefix scan + boundary differences — no scatter."""
-    zero = jnp.zeros((1,), products.dtype)
-    p = jnp.concatenate([zero, products])
-    hi, lo = jax.lax.associative_scan(_df_combine, (p, jnp.zeros_like(p)))
+    prefix scan + boundary differences — no scatter.
+
+    Two-level blocked formulation: a compensated scan WITHIN power-of-two
+    blocks (axis 1 of a [B, Q] view) plus a compensated scan over the B
+    block totals, recombined at gather time.  One flat scan over the full
+    (odd-length) array produced a pathologically slow remote TPU compile;
+    the blocked version keeps the large scan power-of-two (the small B-long
+    totals scan is harmless) and the program small.  The (hi, lo) error
+    carry keeps segment differences of
+    a 10^8-element f32 prefix exact to ~2^-48 relative."""
+    P = products.shape[0]
+    Q = min(1 << max(P - 1, 1).bit_length(), 8192)
+    P2 = -(-P // Q) * Q
+    if P2 != P:  # zero padding after the last bound contributes nothing
+        products = jnp.concatenate(
+            [products, jnp.zeros(P2 - P, products.dtype)])
+        P = P2
+    B = P // Q
+    blk = products.reshape(B, Q)
+    ih, il = jax.lax.associative_scan(_df_combine,
+                                      (blk, jnp.zeros_like(blk)), axis=1)
+    # exclusive block prefix from the inclusive block totals
+    th, tl = ih[:, -1], il[:, -1]
+    ph, pl = jax.lax.associative_scan(_df_combine, (th, tl))
+    ph = jnp.concatenate([jnp.zeros((1,), ph.dtype), ph[:-1]])
+    pl = jnp.concatenate([jnp.zeros((1,), pl.dtype), pl[:-1]])
+
+    # inclusive prefix at flat index i (i in [0, P)), as an (hi, lo) pair
+    def at(i):
+        b, q = i // Q, i % Q
+        return _df_combine((ph[b], pl[b]), (ih[b, q], il[b, q]))
+
     lo32 = bounds.astype(jnp.int32)
-    dh = hi[lo32[1:]] - hi[lo32[:-1]]
-    dl = lo[lo32[1:]] - lo[lo32[:-1]]
-    return dh + dl
+    start = lo32[:-1]
+    end = lo32[1:]
+    eh, el = at(jnp.maximum(end - 1, 0))
+    sh, sl = at(jnp.maximum(start - 1, 0))
+    empty = end <= start
+    sh = jnp.where(start == 0, 0.0, sh)
+    sl = jnp.where(start == 0, 0.0, sl)
+    eh = jnp.where(end == 0, 0.0, eh)
+    el = jnp.where(end == 0, 0.0, el)
+    out = (eh - sh) + (el - sl)
+    return jnp.where(empty, 0.0, out)
 
 
 def _scattered_marginal(sc_cols, sc_vals, bounds, b) -> jnp.ndarray:

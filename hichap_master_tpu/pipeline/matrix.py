@@ -540,77 +540,30 @@ def build_traditional_stream(files: Sequence[str], genome: Genome,
                              local_res: Sequence[int]):
     """Single streaming pass over the valid beds updating every resolution's
     accumulators per chunk (no full-file load; reference holds all matrices
-    in RAM the same way, matrixBuilding.py:549-565)."""
-    sparse_res = [res for res in whole_res if _gw_is_sparse(genome, res)]
-    dense_res = [res for res in whole_res if res not in sparse_res]
-    whole_offs = {res: jnp.asarray(_offsets_array(genome, res))
-                  for res in dense_res}
-    whole_acc = {res: jnp.zeros((genome.total_bins(res),) * 2, jnp.float32)
-                 for res in dense_res}
-    sparse_offs = {res: _offsets_array(genome, res) for res in sparse_res}
-    sparse_acc = {res: SparseGW(genome.total_bins(res))
-                  for res in sparse_res}
-    nb = {res: {c: genome.n_bins(c, res) for c in genome.labels}
-          for res in local_res}
-    label_idx = {c: i for i, c in enumerate(genome.labels)}
-    local_groups = {res: bucket_groups(genome.labels, nb[res])
-                    for res in local_res}
-    local_acc = {
-        res: [jnp.zeros((len(g), N, N), jnp.float32)
-              for g, N in local_groups[res]]
-        for res in local_res
-    }
-    gpos = {}
-    for res in local_res:
-        for gi, (group, _N) in enumerate(local_groups[res]):
-            pos = np.full(len(genome.labels), -1, np.int32)
-            for k, c in enumerate(group):
-                pos[label_idx[c]] = k
-            gpos[(res, gi)] = pos
+    in RAM the same way, matrixBuilding.py:549-565).
+
+    Uses the buffered accumulators (``_GWAcc``/``_IntraAcc``): small per-
+    block group slices coalesce into full device chunks instead of padding
+    each one to CHUNK (the padding waste dominated the e2e matrix wall over
+    the tunneled link), and small dense genome-wide targets accumulate by
+    host bincount with zero device traffic."""
+    offs = {res: _offsets_array(genome, res) for res in whole_res}
+    twhole = {res: _GWAcc(genome.total_bins(res), _gw_is_sparse(genome, res))
+              for res in whole_res}
+    tlocal = {res: _IntraAcc(genome, res) for res in local_res}
 
     total = 0
     for c1, p1, c2, p2 in iter_valid_bed(files, genome):
         total += len(c1)
-        for res in sparse_res:
-            offs = sparse_offs[res]
-            sparse_acc[res].add(offs[c1] + p1 // res, offs[c2] + p2 // res)
-        if dense_res:
-            for (cc1, pp1, cc2, pp2), valid in stream_chunks(
-                    [c1, p1, c2, p2], CHUNK):
-                a1 = jnp.asarray(cc1)
-                a2 = jnp.asarray(cc2)
-                b1 = jnp.asarray(pp1)
-                b2 = jnp.asarray(pp2)
-                vj = jnp.asarray(valid)
-                for res in dense_res:
-                    whole_acc[res] = bin_genomewide(
-                        whole_acc[res], a1, b1, a2, b2, whole_offs[res], vj,
-                        res)
-        intra = c1 == c2
+        for res in whole_res:
+            o = offs[res]
+            twhole[res].add_sym(p1 // res + o[c1], p2 // res + o[c2])
         for res in local_res:
-            for gi, (group, N) in enumerate(local_groups[res]):
-                pos = gpos[(res, gi)]
-                sel = intra & (pos[c1] >= 0)
-                gc = pos[c1[sel]]
-                gp1 = p1[sel]
-                gp2 = p2[sel]
-                for (a, b, d), valid in stream_chunks([gc, gp1, gp2], CHUNK):
-                    local_acc[res][gi] = bin_intra(
-                        local_acc[res][gi], jnp.asarray(a), jnp.asarray(b),
-                        jnp.asarray(a), jnp.asarray(d), jnp.asarray(valid),
-                        res)
+            tlocal[res].add(c1, p1, c2, p2)
 
     whole: Dict[int, np.ndarray | SparseGW] = {
-        res: np.asarray(acc) for res, acc in whole_acc.items()}
-    whole.update(sparse_acc)
-    local: Dict[int, Dict[str, np.ndarray]] = {}
-    for res in local_res:
-        local[res] = {}
-        for gi, (group, N) in enumerate(local_groups[res]):
-            host = np.asarray(local_acc[res][gi])
-            for k, c in enumerate(group):
-                n = nb[res][c]
-                local[res][c] = host[k, :n, :n]
+        res: acc.finish() for res, acc in twhole.items()}
+    local = {res: tlocal[res].finish() for res in local_res}
     return whole, local, total
 
 
@@ -620,12 +573,33 @@ def _write_weights(path: str, genome: Genome, res: int, cis_only: bool) -> None:
     --ignore-diags 1, and --cis-only for intra-chromosome resolutions)."""
     r = CoolerReader(path, res)
     if cis_only:
-        ws = []
-        for c in r.chromnames:
-            Mj, n = r.matrix_device(c)
-            w, _ = ice_balance(Mj, jnp.asarray(n))
-            ws.append(np.asarray(w)[:n])
-        weights = np.concatenate(ws)
+        from ..ops.balance import ice_balance_batch
+
+        # bucket chromosomes by padded size and balance each bucket in ONE
+        # vmapped dispatch: per-chromosome ice_balance compiled a fresh
+        # executable per distinct [P, P] shape (~20 shapes for hg19 — at
+        # 60-90 s per remote compile over the tunnel that alone was tens of
+        # minutes of the e2e wall); the 512-bucketed batch shapes match the
+        # rest of the suite, so they're usually already cached.
+        nb = {c: int(r.chrom_offset[i + 1] - r.chrom_offset[i])
+              for i, c in enumerate(r.chromnames)}
+        per_label = {}
+        for group, N in bucket_groups(r.chromnames, nb):
+            # bound the batch's device footprint; split oversized buckets
+            max_g = max(1, (1 << 32) // (8 * N * N))
+            for s in range(0, len(group), max_g):
+                sub = group[s : s + max_g]
+                ms, ns = [], []
+                for c in sub:
+                    Mj, n = r.matrix_device(c, padded=N)
+                    ms.append(Mj)
+                    ns.append(n)
+                wb, _ = ice_balance_batch(jnp.stack(ms),
+                                          jnp.asarray(ns, jnp.int32))
+                wb = np.asarray(wb)
+                for gi, c in enumerate(sub):
+                    per_label[c] = wb[gi, : ns[gi]]
+        weights = np.concatenate([per_label[c] for c in r.chromnames])
     elif genome.total_bins(res) > DENSE_GW_MAX_BINS:
         # hybrid genome-wide balance (the dense [S, S] form would be
         # hundreds of GB at 10 kb): banded mass stays in dense tiles,

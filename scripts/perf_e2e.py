@@ -127,8 +127,15 @@ def main():
     g = Genome(CHROMS)
     gsz = os.path.join(tmp, "genomeSize")
     g.write(gsz)
-    rep = os.path.join(tmp, "rep1")
-    bed = gen_beds(rep, rng)  # generation is setup, not measured e2e
+    # PERF_E2E_BED reuses a previously generated replicate dir (generation
+    # is ~13 min of untimed setup at full scale)
+    rep = os.environ.get("PERF_E2E_BED") or os.path.join(tmp, "rep1")
+    if os.environ.get("PERF_E2E_BED"):
+        bed = os.path.join(rep, "E2E_R1_Valid.bed")
+        print(f"reusing {bed} ({os.path.getsize(bed)/2**30:.2f} GB)",
+              flush=True)
+    else:
+        bed = gen_beds(rep, rng)  # generation is setup, not measured e2e
 
     total = 0.0
 
