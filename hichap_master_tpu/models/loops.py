@@ -250,10 +250,21 @@ def _pcaller_prep(rows, cols, vals, weights, n: int, res: int, params,
     bn = int(band.sum())
     cap = 1 << max(bn - 1, 1).bit_length()
     cap = max(cap, int(os.environ.get("HICHAP_LOOP_NNZ_FLOOR", "1")))
-    br = np.zeros(cap, np.int32)
-    bv = np.zeros(cap, np.float32)
+    # narrow wire dtypes: rows fit uint16 for any chromosome under 65,536
+    # bins, raw counts fit uint16 when integral and < 65,536 (the usual
+    # case) — together with the uint8 diagonal this drops the band upload
+    # from 9 to 5 bytes/pixel; the device kernels cast back to i32/f32
+    # (ops/loops_packed)
+    br = np.zeros(cap, np.uint16 if n <= 0xFFFF else np.int32)
+    bvals = vals[band]
+    narrow = (bn == 0
+              or (np.issubdtype(bvals.dtype, np.integer)
+                  and bvals.max(initial=0) <= 0xFFFF)
+              or (bvals.max(initial=0) <= 0xFFFF
+                  and not (bvals != np.floor(bvals)).any()))
+    bv = np.zeros(cap, np.uint16 if narrow else np.float32)
     br[:bn] = rows[band]
-    bv[:bn] = vals[band]
+    bv[:bn] = bvals
     if packed:
         bc = bb = None  # device recomputes the balanced band from bv + w32
     else:
@@ -404,9 +415,15 @@ def _packed_inputs_batch(prs: List[dict]):
                                     pack_raw_bal_batch)
 
     pr0 = prs[0]
-    rows = jnp.asarray(np.stack([pr["br"] for pr in prs]))
+    rows = np.stack([pr["br"] for pr in prs])
+    if rows.dtype not in (np.uint16, np.int32):  # mixed-narrowness group
+        rows = rows.astype(np.int32)
+    rows = jnp.asarray(rows)
     ds = jnp.asarray(np.stack([pr["bd"] for pr in prs]))
-    bvs = jnp.asarray(np.stack([pr["bv"] for pr in prs]))
+    bvs = np.stack([pr["bv"] for pr in prs])
+    if bvs.dtype not in (np.uint16, np.float32):  # np promotion to f64
+        bvs = bvs.astype(np.float32)
+    bvs = jnp.asarray(bvs)
     maxn = max(pr["n"] for pr in prs)
     w = np.ones((len(prs), maxn), np.float32)
     for i, pr in enumerate(prs):

@@ -43,6 +43,9 @@ def pack_margins(maxww: int):
 
 def _pack_coo_core(rows, cols, vals, B: int, Xp: int, e_lo: int,
                    x_pad: int):
+    rows = rows.astype(jnp.int32)
+    cols = cols.astype(jnp.int32)
+    vals = vals.astype(jnp.float32)
     e = cols - rows
     ok = (e >= 0) & (e < B)
     er = jnp.where(ok, e + e_lo, 0)
@@ -58,14 +61,16 @@ def pack_raw_bal(row, d, bv, w, *, B: int, Xp: int, e_lo: int, x_pad: int,
     """Packed raw + balanced band maps from the SLIM band COO.
 
     Upload-minimal form of two ``pack_coo`` calls: the host ships only
-    (row int32, diagonal uint8/uint16, raw value f32) plus the per-bin
-    balance weights [n] (NaN at filtered bins, cooler semantics); the
-    balanced values ``bv * w[x] * w[x+d]`` (NaN→0) are computed on device.
-    Raw keeps d > 0 (diagonal removed), balanced keeps d >= ww — the same
-    masks models/loops._packed_inputs applied host-side.
+    (row uint16/int32, diagonal uint8/uint16, raw value uint16/f32 — the
+    narrow forms when the chromosome's bins and counts fit them) plus the
+    per-bin balance weights [n] (NaN at filtered bins, cooler semantics);
+    the balanced values ``bv * w[x] * w[x+d]`` (NaN→0) are computed on
+    device.  Raw keeps d > 0 (diagonal removed), balanced keeps d >= ww —
+    the same masks models/loops._packed_inputs applied host-side.
     """
     e = d.astype(jnp.int32)
-    x = row
+    x = row.astype(jnp.int32)
+    bv = bv.astype(jnp.float32)
     ok = e < B  # e >= 0 by construction (unsigned diagonal)
     er = jnp.where(ok, e + e_lo, 0)
     xr = jnp.where(ok, x + x_pad, 0)
@@ -93,7 +98,7 @@ def _derive_pixels_core(row, d, keep, npix, *, ww: int, dmax: int,
     safe = jnp.clip(idx, 0, cap - 1)
     vp = jnp.arange(P2, dtype=jnp.int32) < npix
     ep = jnp.where(vp, e[safe], 0)
-    xp = jnp.where(vp, row[safe], 0)
+    xp = jnp.where(vp, row[safe].astype(jnp.int32), 0)
     return ep, xp, vp
 
 
