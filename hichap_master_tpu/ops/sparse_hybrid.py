@@ -53,7 +53,7 @@ class HybridGW:
 
     bm: BlockMatrix
     sc_cols: np.ndarray   # [P] int32 (padded with 0)
-    sc_vals: np.ndarray   # [P] f32  (padded with 0)
+    sc_vals: np.ndarray   # [P] f32 or uint16 (padded with 0)
     bounds: np.ndarray    # [N+1] int32 into the sorted pixel arrays
     sc_nnz: np.ndarray    # [N] f32, scattered nonzero count per row
     n: int
@@ -71,10 +71,21 @@ def hybrid_from_coo(rows, cols, vals, n: int, T: int = 128,
     ``ignore_diags`` pixels (|i-j| < d) are dropped from the scattered part
     here (the tiled part zeroes them inside ``hybrid_ice_balance`` /
     ``sparse_ice_balance`` as usual) — both parts then agree with the
-    cooler-default ignore rule."""
+    cooler-default ignore rule.
+
+    When ``vals`` are integer counts fitting uint16 (the raw-matrix case),
+    tiles and scattered values are STORED uint16 and cast to f32 on device
+    — halving the host->device wire (589 MB of f32 tiles at hg19 10 kb)
+    without changing any result (cooler pixels are unique, so no u16
+    accumulation overflow is possible)."""
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
-    vals = np.asarray(vals, dtype)
+    vals = np.asarray(vals)
+    if (np.issubdtype(vals.dtype, np.integer)
+            and (vals.size == 0 or vals.max(initial=0) <= 0xFFFF)
+            and (vals.size == 0 or vals.min(initial=0) >= 0)):
+        dtype = np.uint16
+    vals = vals.astype(dtype)
     if rows.size and (rows > cols).any():
         raise ValueError("hybrid_from_coo expects upper-triangle pixels")
     R = (n + T - 1) // T
@@ -218,7 +229,22 @@ def hybrid_ice_balance(tiles, brow, bcol, sc_cols, sc_vals, bounds, sc_nnz,
                        max_iters: int = 200, reduce: str = "onehot"):
     """ICE over the hybrid layout — ``sparse_ice_balance`` semantics with
     the marginal = tile matvec + scattered prefix-sum contribution.
-    ``bounds``/``sc_nnz`` must be padded to R*T(+1) (1.0-free: zeros)."""
+    ``bounds``/``sc_nnz`` must be padded to R*T(+1) (1.0-free: zeros).
+
+    Measured design note (hg19 10 kb, 30M pixels, tunneled v5e): the full
+    production balance converges in 18 exact iterations and runs 10 s warm
+    — dominated by the ~350 MB uint16 upload, not compute.  A lazy variant
+    that froze the scattered (gather-bound) term between refreshes via a
+    nested traced-trip fori_loop measured 33 s for the same fixed point
+    (the dynamic inner loop defeats XLA's pipelining and costs far more
+    than the ~0.3 s/pass gather it saves), so the loop below stays flat
+    and exact."""
+    # integer (uint16) storage rides the wire at half width and is cast to
+    # f32 here, on device, before any arithmetic
+    if not jnp.issubdtype(tiles.dtype, jnp.floating):
+        tiles = tiles.astype(jnp.float32)
+    if not jnp.issubdtype(sc_vals.dtype, jnp.floating):
+        sc_vals = sc_vals.astype(tiles.dtype)
     dtype = tiles.dtype
     N = R * T
 

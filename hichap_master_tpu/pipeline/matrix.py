@@ -609,7 +609,9 @@ def _write_weights(path: str, genome: Genome, res: int, cis_only: bool) -> None:
         from ..ops.sparse_hybrid import hybrid_from_coo, ice_balance_hybrid
 
         b1, b2, v = r.pixels_coo()
-        h = hybrid_from_coo(b1, b2, v.astype(np.float32), r.nbins)
+        # raw integer counts ride the wire as uint16 (hybrid_from_coo
+        # detects the range); cast to f32 happens on device
+        h = hybrid_from_coo(b1, b2, v, r.nbins)
         w, _ = ice_balance_hybrid(h)
         weights = np.asarray(w)[: r.nbins]
     else:

@@ -34,9 +34,9 @@ def main():
                      10_000)
     b1, b2, v = r.pixels_coo()
     log(f"pixels read: {len(v)/1e6:.1f}M")
-    h = hybrid_from_coo(b1, b2, v.astype(np.float32), r.nbins)
-    log(f"hybrid built: tiles={h.bm.K} ({h.bm.tiles.size*4/2**20:.0f} MB) "
-        f"scattered={h.P/1e6:.1f}M")
+    h = hybrid_from_coo(b1, b2, v, r.nbins)
+    log(f"hybrid built: tiles={h.bm.K} dtype={h.bm.tiles.dtype} "
+        f"({h.bm.tiles.nbytes/2**20:.0f} MB) scattered={h.P/1e6:.1f}M")
     n_sub = int(os.environ.get("PROBE_SUB", "0"))
     if n_sub:
         # shrink the scattered part to probe scaling
@@ -46,14 +46,13 @@ def main():
             bounds=np.minimum(h.bounds, n_sub),
             sc_nnz=h.sc_nnz)  # nnz no longer exact; fine for a timing probe
         log(f"truncated scattered to {n_sub/1e6:.1f}M")
-    w, st = ice_balance_hybrid(h, max_iters=1, tol=0.0)
-    np.asarray(w[:2])
-    log("compile + 1 iter done")
-    t = time.perf_counter()
-    w, st = ice_balance_hybrid(h, max_iters=20, tol=0.0)
-    np.asarray(w[:2])
-    log(f"20 iters: {time.perf_counter()-t:.1f}s "
-        f"finite={int(np.isfinite(np.asarray(w)).sum())}")
+    for run in ("cold", "warm"):
+        t = time.perf_counter()
+        w, st = ice_balance_hybrid(h, max_iters=200, tol=1e-5)
+        np.asarray(w[:2])
+        log(f"production balance {run}: {time.perf_counter()-t:.1f}s "
+            f"iters={int(st['iters'])} converged={bool(st['converged'])} "
+            f"finite={int(np.isfinite(np.asarray(w)).sum())}")
 
 
 if __name__ == "__main__":

@@ -81,6 +81,27 @@ def test_hybrid_ice_matches_dense(rng, min_tile_occ):
     np.testing.assert_allclose(w_h[m], w_d[m], rtol=2e-4)
 
 
+def test_hybrid_uint16_storage_matches_f32(rng):
+    # integer counts fitting uint16 are STORED uint16 (half the host->
+    # device wire) and cast to f32 on device; results must be identical
+    n = 300
+    M = _mixed_matrix(rng, n)
+    r, c, v = _upper_coo(M)
+    h16 = hybrid_from_coo(r, c, v.astype(np.int32), n, T=64, min_tile_occ=64)
+    assert h16.bm.tiles.dtype == np.uint16
+    assert h16.sc_vals.dtype == np.uint16
+    h32 = hybrid_from_coo(r, c, v, n, T=64, min_tile_occ=64)
+    assert h32.bm.tiles.dtype == np.float32
+    w16, _ = ice_balance_hybrid(h16, max_iters=60, tol=0.0)
+    w32, _ = ice_balance_hybrid(h32, max_iters=60, tol=0.0)
+    np.testing.assert_array_equal(np.asarray(w16), np.asarray(w32))
+    # counts above the uint16 range must stay in float storage
+    vbig = v.copy()
+    vbig[0] = 70_000
+    hbig = hybrid_from_coo(r, c, vbig.astype(np.int64), n, T=64)
+    assert hbig.bm.tiles.dtype == np.float32
+
+
 def test_hybrid_memory_stays_on_nnz_scale(rng):
     # the scenario that kills the pure tile layout: pixels scattered over
     # the whole plane — hybrid keeps them as COO, not 64x64 tiles
