@@ -610,8 +610,10 @@ def _write_weights(path: str, genome: Genome, res: int, cis_only: bool) -> None:
 
         b1, b2, v = r.pixels_coo()
         # raw integer counts ride the wire as uint16 (hybrid_from_coo
-        # detects the range); cast to f32 happens on device
-        h = hybrid_from_coo(b1, b2, v, r.nbins)
+        # detects the range); cast to f32 happens on device.  Cooler
+        # pixels are unique (i, j) pairs, so tile fill is assignment,
+        # not accumulation — cuts the 1-core host build ~25x at 30M px.
+        h = hybrid_from_coo(b1, b2, v, r.nbins, assume_unique=True)
         w, _ = ice_balance_hybrid(h)
         weights = np.asarray(w)[: r.nbins]
     else:

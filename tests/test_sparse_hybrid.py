@@ -102,6 +102,29 @@ def test_hybrid_uint16_storage_matches_f32(rng):
     assert hbig.bm.tiles.dtype == np.float32
 
 
+def test_hybrid_assume_unique_matches_accumulate(rng):
+    # the fast assignment-fill path (unique cooler pixels) must produce
+    # the exact layout the accumulate path builds: same tiles (incl. the
+    # diagonal-tile lower-triangle mirror), same scattered split
+    n = 300
+    M = _mixed_matrix(rng, n)
+    r, c, v = _upper_coo(M)
+    for occ in (1, 64, 10**9):
+        ha = hybrid_from_coo(r, c, v, n, T=64, min_tile_occ=occ)
+        hu = hybrid_from_coo(r, c, v, n, T=64, min_tile_occ=occ,
+                             assume_unique=True)
+        np.testing.assert_array_equal(ha.bm.tiles, hu.bm.tiles)
+        np.testing.assert_array_equal(ha.bm.brow, hu.bm.brow)
+        np.testing.assert_array_equal(ha.bm.bcol, hu.bm.bcol)
+        np.testing.assert_array_equal(ha.sc_cols, hu.sc_cols)
+        np.testing.assert_array_equal(ha.sc_vals, hu.sc_vals)
+        np.testing.assert_array_equal(ha.bounds, hu.bounds)
+    # uint16 storage is preserved on the fast path too
+    hu16 = hybrid_from_coo(r, c, v.astype(np.int32), n, T=64,
+                           min_tile_occ=64, assume_unique=True)
+    assert hu16.bm.tiles.dtype == np.uint16
+
+
 def test_hybrid_memory_stays_on_nnz_scale(rng):
     # the scenario that kills the pure tile layout: pixels scattered over
     # the whole plane — hybrid keeps them as COO, not 64x64 tiles
