@@ -792,10 +792,33 @@ def _pcaller_post(pr: dict, resolved, bsk, bek, bsy, bey, res: int,
 
 
 # --------------------------------------------------------------- driver
+def _sym_csr(rows, cols, vals, n: int):
+    """Symmetric CSR from upper-triangle COO — the post-stage cache format.
+
+    Selection/clustering/plotting only ever do point lookups, ``diagonal(k)``
+    and small window slices, so a CSR serves them at O(nnz) memory where the
+    dense float64 build measured ~7 s/GB on the 1-core host (~40 GB and
+    several hundred seconds for hg19 at 10 kb — the reference can afford
+    dense because it never runs genome-scale at this resolution)."""
+    from scipy.sparse import coo_matrix
+
+    off = rows != cols
+    dr = np.concatenate([rows, cols[off]])
+    dc = np.concatenate([cols, rows[off]])
+    dv = np.concatenate([vals, vals[off]])
+    return coo_matrix((dv, (dr, dc)), shape=(n, n)).tocsr()
+
+
+def _window(M, s: int, e: int) -> np.ndarray:
+    """Dense [s:e, s:e] window of a dense-or-sparse matrix cache entry."""
+    W = M[s:e, s:e]
+    return W.toarray() if hasattr(W, "toarray") else W
+
+
 def call_peaks(cooler_path: str, res: int, allelic, outfil: str,
                gap_file: Optional[str] = None) -> Dict[str, np.ndarray]:
     """CallPeaks parity (StructureFind.py:1954-2060).  Returns raw matrices
-    cache {chrom: matrix} used by selection/clustering."""
+    cache {chrom: symmetric CSR} used by selection/clustering."""
     reader = CoolerReader(cooler_path, res)
     if allelic is False or allelic is None:
         chroms = reader.chromnames
@@ -819,9 +842,10 @@ def call_peaks(cooler_path: str, res: int, allelic, outfil: str,
         rows, cols, vals = reader.fetch_coo(chro)
         ci = reader.chromnames.index(chro)
         n = int(reader.chrom_offset[ci + 1] - reader.chrom_offset[ci])
-        # host dense copy kept for the selection/cluster post-stages
-        # (pure h5py, never crosses the device link)
-        matrices[chro] = reader.matrix(chro, balance=False)
+        # sparse host copy kept for the selection/cluster post-stages,
+        # built from the COO already fetched (no second h5py pass, and
+        # never crosses the device link)
+        matrices[chro] = _sym_csr(rows, cols, vals, n)
         if not allelic:
             wt = reader.bins_weight(chro)
         else:
@@ -867,10 +891,11 @@ def loop_selecting(matrices, res: int, input_fil: str, output_fil: str,
             b1 = int(l[1]) // res
             b2 = int(l[2]) // res
             M = matrices[chro]
-            IF = M[b1, b2]
+            IF = float(M[b1, b2])
             key = (chro, b2 - b1)
             if key not in sorted_diag:
-                sorted_diag[key] = np.sort(np.diagonal(M, b2 - b1).copy())
+                # .diagonal(k) works for both ndarray and scipy sparse
+                sorted_diag[key] = np.sort(np.asarray(M.diagonal(b2 - b1)))
             dist = sorted_diag[key]
             ratio = bisect.bisect_left(dist, IF) / len(dist)
             if ratio < loop_ratio or IF < loop_strength:
@@ -946,7 +971,7 @@ def loop_cluster(matrices, res: int, rawfil: str, allelic,
                 wq = q / (10 ** sums)
                 if wq < weight_q_value:
                     x, y = s1 // res, e1 // res
-                    IF = matrices[chro][x, y]
+                    IF = float(matrices[chro][x, y])
                     out.write(f"{chro}\t{s1}\t{e1}\t{IF}\t{wq}\t{sums}\n")
         else:
             pre = allelic[0]
@@ -1006,7 +1031,7 @@ def plot_loops(pdf_path: str, cooler_path: str, res: int, allelic,
             start = 0
             while start + interval <= N:
                 end = start + interval
-                W = M[start:end, start:end]
+                W = _window(M, start, end)
                 sel = [l for l in sub if start * res <= l[1]
                        and l[2] <= end * res]
                 nz = W[np.nonzero(W)]

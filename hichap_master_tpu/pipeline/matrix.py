@@ -571,6 +571,12 @@ def build_traditional_stream(files: Sequence[str], genome: Genome,
 def _write_weights(path: str, genome: Genome, res: int, cis_only: bool) -> None:
     """ICE-balance a written cooler group in place (``cooler balance`` parity:
     --ignore-diags 1, and --cis-only for intra-chromosome resolutions)."""
+    with stage(f"matrix.ice.{res}.{'cis' if cis_only else 'gw'}"):
+        _write_weights_inner(path, genome, res, cis_only)
+
+
+def _write_weights_inner(path: str, genome: Genome, res: int,
+                         cis_only: bool) -> None:
     r = CoolerReader(path, res)
     if cis_only:
         from ..ops.balance import ice_balance_batch
@@ -645,32 +651,69 @@ def traditional_matrix_construction(
         if not files:
             raise FileNotFoundError(f"no *_Valid.bed under {rep}")
         prefix = bed_prefix(files)
-        whole, local, total = build_traditional_stream(
-            files, genome, whole_res, local_res)
+        with stage("matrix.binning"):
+            whole, local, total = build_traditional_stream(
+                files, genome, whole_res, local_res)
         log.log(21, "replicate %s: %d valid pairs", prefix, total)
         rep_whole.append(whole)
         rep_local.append(local)
 
         path = os.path.join(cooler_dir, prefix + "Multi.cool")
-        _write_traditional_cooler(path, genome, whole, local)
+        with stage("matrix.write_cooler"):
+            _write_traditional_cooler(path, genome, whole, local)
         coolers.append(path)
 
     merged = os.path.join(cooler_dir, "Merged_Multi.cool")
-    whole_m = {res: sum(w[res] for w in rep_whole) for res in whole_res}
-    local_m = {
-        res: {c: sum(l[res][c] for l in rep_local) for c in genome.labels}
-        for res in local_res
-    }
-    _write_traditional_cooler(merged, genome, whole_m, local_m)
+    if len(rep_paths) == 1:
+        # one replicate: the merged cooler is byte-identical to the
+        # replicate cooler — copy the file instead of re-summing and
+        # re-writing ~1 GB of HDF5 (matrixBuilding.py:689-695 merges via
+        # cooler.merge_coolers even for one input)
+        import shutil
+
+        if os.path.exists(merged):
+            os.remove(merged)
+        with stage("matrix.merged_copy"):
+            shutil.copyfile(coolers[0], merged)
+    else:
+        whole_m = {res: sum(w[res] for w in rep_whole) for res in whole_res}
+        local_m = {
+            res: {c: sum(l[res][c] for l in rep_local)
+                  for c in genome.labels}
+            for res in local_res
+        }
+        with stage("matrix.write_cooler"):
+            _write_traditional_cooler(merged, genome, whole_m, local_m)
     coolers.append(merged)
 
     if balance:
-        for path in coolers:
+        with stage("matrix.balance"):
             for res in whole_res:
-                _write_weights(path, genome, res, cis_only=False)
+                _write_weights(merged, genome, res, cis_only=False)
             for res in local_res:
-                _write_weights(path, genome, res, cis_only=True)
+                _write_weights(merged, genome, res, cis_only=True)
+            if len(rep_paths) == 1:
+                # identical pixels → identical weights: share instead of
+                # re-running every balance on the copy
+                _copy_weights(merged, coolers[0],
+                              list(whole_res) + list(local_res))
+            else:
+                for path in coolers[:-1]:
+                    for res in whole_res:
+                        _write_weights(path, genome, res, cis_only=False)
+                    for res in local_res:
+                        _write_weights(path, genome, res, cis_only=True)
     return {"coolers": coolers, "merged": merged}
+
+
+def _copy_weights(src: str, dst: str, res_list: Sequence[int]) -> None:
+    import h5py
+
+    for res in res_list:
+        rs = CoolerReader(src, res)
+        with h5py.File(src, "r") as f:
+            w = f[rs.grp]["bins/weight"][:]
+        CoolerReader(dst, res).set_weights(w)
 
 
 def _write_traditional_cooler(path, genome, whole, local):

@@ -176,6 +176,8 @@ def main():
                                    os.path.join(tmp, "Loops")))
     total += w
 
+    from hichap_master_tpu.utils.profiling import metrics
+    RESULTS["stage_walls"] = {k: round(v, 2) for k, v in metrics().items()}
     RESULTS["total_s"] = round(total, 1)
     RESULTS["pairs"] = PAIRS
     RESULTS["scale_divisor"] = _S
