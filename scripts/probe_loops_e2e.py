@@ -53,12 +53,21 @@ def main():
 
     t = time.perf_counter()
     matrices = {}
-    for chro in chroms:
-        matrices[chro] = reader.matrix(chro, balance=False)
+    if os.environ.get("PROBE_DENSE") == "1":  # the pre-CSR production path
+        for chro in chroms:
+            matrices[chro] = reader.matrix(chro, balance=False)
+        gb = sum(m.nbytes for m in matrices.values()) / 2**30
+        kind = f"dense {next(iter(matrices.values())).dtype}"
+    else:
+        from hichap_master_tpu.models.loops import _sym_csr
+        for chro in chroms:
+            rows, cols, vals, _wt, n = inputs[chro]
+            matrices[chro] = _sym_csr(rows, cols, vals, n)
+        gb = sum(m.data.nbytes + m.indices.nbytes + m.indptr.nbytes
+                 for m in matrices.values()) / 2**30
+        kind = "csr f32"
     dt = time.perf_counter() - t
-    gb = sum(m.nbytes for m in matrices.values()) / 2**30
-    log(f"dense host matrix() all 23: {dt:.1f}s ({gb:.1f} GB, "
-        f"dtype={next(iter(matrices.values())).dtype})")
+    log(f"post-stage matrix cache ({kind}) all 23: {dt:.1f}s ({gb:.1f} GB)")
 
     t = time.perf_counter()
     results = pcaller_multi(inputs, res, params, allelic=False, gaps={})
