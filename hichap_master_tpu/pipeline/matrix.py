@@ -74,13 +74,55 @@ CHUNK = 1 << 19
 DENSE_GW_MAX_BINS = int(os.environ.get("HICHAP_DENSE_GW_MAX_BINS", "65536"))
 
 
+def _rle_sorted(keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Unique keys + run lengths of an already-sorted key array."""
+    if keys.size == 0:
+        return keys, np.zeros(0, np.float64)
+    starts = np.r_[0, np.flatnonzero(np.diff(keys)) + 1]
+    runs = np.diff(np.r_[starts, keys.size]).astype(np.float64)
+    return keys[starts], runs
+
+
+def _merge_sorted_counts(keys, cnts, nk, nc):
+    """Merge (nk, nc) into the sorted unique (keys, cnts) accumulator.
+
+    ``nk`` must be sorted-unique.  Matched keys add in place; the rest
+    insert by vectorized copy.  This replaces re-running np.unique over
+    the whole accumulation (a full argsort of O(total) keys per compaction
+    — measured 204 s of the 50M-pair e2e stream at 10 kb, vs sorting only
+    the 16M-key pending block and merging in O(n))."""
+    if keys.size == 0:
+        return nk, nc
+    idx = np.searchsorted(keys, nk)
+    inb = np.minimum(idx, keys.size - 1)
+    match = keys[inb] == nk
+    # nk is unique, so matched target positions are distinct: fancy += safe
+    cnts[idx[match]] += nc[match]
+    if match.all():
+        return keys, cnts
+    ins_k, ins_c, pos = nk[~match], nc[~match], idx[~match]
+    out_k = np.empty(keys.size + ins_k.size, keys.dtype)
+    out_c = np.empty(out_k.size, np.float64)
+    tgt = pos + np.arange(ins_k.size)
+    keep = np.ones(out_k.size, bool)
+    keep[tgt] = False
+    out_k[keep] = keys
+    out_c[keep] = cnts
+    out_k[tgt] = ins_k
+    out_c[tgt] = ins_c
+    return out_k, out_c
+
+
 class SparseGW:
     """Genome-wide contact accumulator in upper-triangle COO key space.
 
-    Pending binned pairs compact periodically through np.unique, so host
-    memory stays O(unique pixels) — the same order as the cooler this will
-    be written to.  Matches ``bin_genomewide`` semantics (symmetric count;
-    diagonal counted once)."""
+    Pending binned pairs compact periodically, so host memory stays
+    O(unique pixels) — the same order as the cooler this will be written
+    to.  ``self.keys`` is maintained sorted-unique: each compaction sorts
+    ONLY the pending block and searchsorted-merges it in, instead of
+    re-sorting the whole accumulation through np.unique.  Matches
+    ``bin_genomewide`` semantics (symmetric count; diagonal counted
+    once)."""
 
     def __init__(self, S: int, compact_every: int = 1 << 24):
         self.S = S
@@ -105,11 +147,9 @@ class SparseGW:
     def _compact(self) -> None:
         if not self._pend:
             return
-        allk = np.concatenate([self.keys] + self._pend)
-        allc = np.concatenate(
-            [self.cnts] + [np.ones(k.size) for k in self._pend])
-        self.keys, inv = np.unique(allk, return_inverse=True)
-        self.cnts = np.bincount(inv, weights=allc)
+        nk, nc = _rle_sorted(np.sort(np.concatenate(self._pend)))
+        self.keys, self.cnts = _merge_sorted_counts(
+            self.keys, self.cnts, nk, nc)
         self._pend, self._pend_n = [], 0
 
     def coo(self):
@@ -125,10 +165,8 @@ class SparseGW:
         self._compact()
         other._compact()
         out = SparseGW(self.S)
-        allk = np.concatenate([self.keys, other.keys])
-        allc = np.concatenate([self.cnts, other.cnts])
-        out.keys, inv = np.unique(allk, return_inverse=True)
-        out.cnts = np.bincount(inv, weights=allc)
+        out.keys, out.cnts = _merge_sorted_counts(
+            self.keys.copy(), self.cnts.copy(), other.keys, other.cnts)
         return out
 
     __radd__ = __add__
@@ -180,10 +218,16 @@ class SparseDirectedGW:
     def _compact(self) -> None:
         if not self._pend:
             return
-        allk = np.concatenate([self.keys] + [k for k, _ in self._pend])
-        allc = np.concatenate([self.cnts] + [w for _, w in self._pend])
-        self.keys, inv = np.unique(allk, return_inverse=True)
-        self.cnts = np.bincount(inv, weights=allc)
+        pk = np.concatenate([k for k, _ in self._pend])
+        pw = np.concatenate([w for _, w in self._pend])
+        order = np.argsort(pk)  # weighted: sort must carry the weights
+        sk = pk[order]
+        starts = (np.r_[0, np.flatnonzero(np.diff(sk)) + 1]
+                  if sk.size else np.zeros(0, np.intp))
+        nk = sk[starts]
+        nc = np.add.reduceat(pw[order], starts) if sk.size else pw
+        self.keys, self.cnts = _merge_sorted_counts(
+            self.keys, self.cnts, nk, nc)
         self._pend, self._pend_n = [], 0
 
     def coo(self):
@@ -203,10 +247,8 @@ class SparseDirectedGW:
         self._compact()
         other._compact()
         out = SparseDirectedGW(self.S)
-        allk = np.concatenate([self.keys, other.keys])
-        allc = np.concatenate([self.cnts, other.cnts])
-        out.keys, inv = np.unique(allk, return_inverse=True)
-        out.cnts = np.bincount(inv, weights=allc)
+        out.keys, out.cnts = _merge_sorted_counts(
+            self.keys.copy(), self.cnts.copy(), other.keys, other.cnts)
         return out
 
     __radd__ = __add__
