@@ -1,0 +1,87 @@
+"""Oracle parity for the sparse genome-wide accumulators.
+
+The merge-compaction path (sort the pending block, run-length reduce,
+searchsorted-merge into the sorted-unique accumulation — pipeline/
+matrix.py) must match a dense np.add.at oracle exactly: same pixels in
+the same (row, col)-sorted order, same counts, including out-of-bounds
+drops (XLA scatter parity), the symmetric diagonal-once rule
+(reference matrixBuilding.py:588-592), directed weighted increments
+(matrixBuilding.py:1295-1301), add_symmetric folding, and __add__
+merges.  Small compact_every forces many merge rounds."""
+
+import numpy as np
+import pytest
+
+from hichap_master_tpu.pipeline.matrix import SparseDirectedGW, SparseGW
+
+S = 997  # prime: no accidental alignment with key arithmetic
+
+
+def test_sparse_gw_matches_dense_oracle():
+    rng = np.random.default_rng(11)
+    acc = SparseGW(S, compact_every=5_000)
+    dense = np.zeros((S, S))
+    for _ in range(25):
+        b1 = rng.integers(-7, S + 7, 3_000)
+        b2 = rng.integers(-7, S + 7, 3_000)
+        acc.add(b1, b2)
+        ok = (b1 >= 0) & (b1 < S) & (b2 >= 0) & (b2 < S)
+        lo = np.minimum(b1, b2)[ok]
+        hi = np.maximum(b1, b2)[ok]
+        np.add.at(dense, (lo, hi), 1)
+    r, c, v = acc.coo()
+    nz = dense.nonzero()
+    assert np.array_equal(np.c_[r, c], np.transpose(nz))
+    assert np.array_equal(v, dense[nz])
+    # keys stay strictly sorted-unique after compaction
+    assert np.all(np.diff(r.astype(np.int64) * S + c) > 0)
+
+
+def test_sparse_directed_gw_weighted_and_add():
+    rng = np.random.default_rng(13)
+    parts = [SparseDirectedGW(S, compact_every=4_000) for _ in range(2)]
+    dense = np.zeros((S, S))
+    for d in parts:
+        for _ in range(12):
+            r = rng.integers(-7, S + 7, 2_000)
+            c = rng.integers(-7, S + 7, 2_000)
+            w = rng.random(2_000)
+            d.add_directed(r, c, w)
+            ok = (r >= 0) & (r < S) & (c >= 0) & (c < S)
+            np.add.at(dense, (r[ok], c[ok]), w[ok])
+        # unique upper-triangle block via add_symmetric
+        a = rng.integers(0, S, 600)
+        b = rng.integers(0, S, 600)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        k = lo.astype(np.int64) * S + hi
+        _, ix = np.unique(k, return_index=True)
+        lo, hi, v = lo[ix], hi[ix], rng.random(ix.size)
+        d.add_symmetric(lo, hi, v)
+        np.add.at(dense, (lo, hi), v)
+        off = lo != hi
+        np.add.at(dense, (hi[off], lo[off]), v[off])
+    total = parts[0] + parts[1]
+    r, c, v = total.coo()
+    nz = dense.nonzero()
+    assert np.array_equal(np.c_[r, c], np.transpose(nz))
+    np.testing.assert_allclose(v, dense[nz], rtol=1e-12)
+    assert total.sum() == pytest.approx(dense.sum())
+    # builtin sum() with the 0 start
+    assert np.allclose(sum([parts[0], parts[1]]).coo()[2], v)
+
+
+def test_compact_every_invariance():
+    """The same stream compacted at different cadences is identical."""
+    rng = np.random.default_rng(17)
+    chunks = [(rng.integers(0, S, 1_500), rng.integers(0, S, 1_500))
+              for _ in range(10)]
+    outs = []
+    for every in (1_000, 4_096, 1 << 24):
+        acc = SparseGW(S, compact_every=every)
+        for b1, b2 in chunks:
+            acc.add(b1, b2)
+        outs.append(acc.coo())
+    for r, c, v in outs[1:]:
+        assert np.array_equal(r, outs[0][0])
+        assert np.array_equal(c, outs[0][1])
+        assert np.array_equal(v, outs[0][2])
