@@ -124,12 +124,32 @@ def read_allelic_bed(paths: Sequence[str], genome: Genome, with_tag: bool):
 def iter_valid_bed(paths: Sequence[str], genome: Genome,
                    read_bytes: int = 1 << 25):
     """Stream (c1, p1, c2, p2) column chunks from valid-bed files without
-    loading them into memory (production inputs are tens of GB); the
-    pandas C engine parses each block."""
+    loading them into memory (production inputs are tens of GB).
+
+    Blocks parse through the native one-pass scanner
+    (``hicio_parse_valid_chunk``) when the C library is available —
+    measured ~10x the pandas C reader on the 1-core host, where parsing
+    was the e2e ingestion share — with the pandas path as fallback
+    (``HICHAP_NATIVE_BED=0`` forces it; the parity test runs both)."""
     idx = label_index(genome)
+    use_native = os.environ.get("HICHAP_NATIVE_BED", "1") != "0"
     for path in paths:
         if os.path.getsize(path) == 0:
             continue
+        if use_native:
+            from .native import get_lib, parse_valid_chunk
+
+            if get_lib() is not None:  # decide BEFORE yielding any chunk
+                with open(path, "rb") as fb:
+                    while True:
+                        buf = fb.read(read_bytes)
+                        if not buf:
+                            break
+                        tail = fb.readline()  # complete the last line
+                        if tail:
+                            buf += tail
+                        yield parse_valid_chunk(buf, genome.labels)
+                continue
         with open(path) as f:
             while True:
                 lines = f.readlines(read_bytes)

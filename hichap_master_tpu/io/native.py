@@ -69,8 +69,40 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.hicio_sam_sort_merge.argtypes = [ctypes.POINTER(ctypes.c_char_p),
                                          ctypes.c_int, ctypes.c_char_p]
     lib.hicio_sam_sort_merge.restype = ctypes.c_int
+    lib.hicio_parse_valid_chunk.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p]
+    lib.hicio_parse_valid_chunk.restype = ctypes.c_long
     _lib = lib
     return _lib
+
+
+def parse_valid_chunk(buf: bytes, labels: Sequence[str]):
+    """Parse a complete-lines block of valid-bed text → (c1, p1, c2, p2)
+    numpy columns via the native scanner (~10x the pandas C reader on the
+    1-core host: one pass, no DataFrame, no category machinery).
+
+    Returns None when the native library is unavailable (caller falls
+    back to the pandas path)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = buf.count(b"\n") + (0 if buf.endswith(b"\n") or not buf else 1)
+    c1 = np.empty(cap, np.int32)
+    p1 = np.empty(cap, np.int64)
+    c2 = np.empty(cap, np.int32)
+    p2 = np.empty(cap, np.int64)
+    arr = (ctypes.c_char_p * len(labels))(*[l.encode() for l in labels])
+    n = lib.hicio_parse_valid_chunk(
+        buf, len(buf), arr, len(labels),
+        c1.ctypes.data_as(ctypes.c_void_p), p1.ctypes.data_as(ctypes.c_void_p),
+        c2.ctypes.data_as(ctypes.c_void_p), p2.ctypes.data_as(ctypes.c_void_p))
+    if n < 0:
+        return None
+    return c1[:n], p1[:n], c2[:n], p2[:n]
 
 
 def _py_key6(line: str):

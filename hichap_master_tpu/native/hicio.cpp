@@ -286,6 +286,77 @@ int hicio_sam_sort_merge(const char** paths, int n, const char* out_path) {
     return 0;
 }
 
+// Parse a block of valid-bed text (complete lines) into columnar arrays.
+// Consumes tab-separated columns 1, 6, 8, 13 (0-indexed) = chrom1,
+// fragment-mid1, chrom2, fragment-mid2 (HiCHap/matrixBuilding.py:575-586).
+// Chromosome fields strip a "chr" prefix and match the label table
+// verbatim (the io/bedio._chrom_index rule); rows with an unknown chrom
+// or a missing/non-numeric position are dropped.  Returns kept rows.
+long hicio_parse_valid_chunk(const char* buf, long nbytes,
+                             const char* const* labels, int n_labels,
+                             int32_t* c1, int64_t* p1,
+                             int32_t* c2, int64_t* p2) {
+    std::vector<size_t> llen(n_labels);
+    for (int i = 0; i < n_labels; ++i) llen[i] = std::strlen(labels[i]);
+    auto lookup = [&](const char* b, const char* e) -> int {
+        if (e - b >= 3 && b[0] == 'c' && b[1] == 'h' && b[2] == 'r') b += 3;
+        const size_t n = static_cast<size_t>(e - b);
+        for (int i = 0; i < n_labels; ++i)
+            if (llen[i] == n && std::memcmp(labels[i], b, n) == 0) return i;
+        return -1;
+    };
+    auto num = [](const char* b, const char* e, int64_t* out) -> bool {
+        if (b == e) return false;
+        const bool neg = (*b == '-');
+        if (neg && ++b == e) return false;
+        int64_t v = 0;
+        for (; b < e; ++b) {
+            if (*b < '0' || *b > '9') return false;
+            v = v * 10 + (*b - '0');
+        }
+        *out = neg ? -v : v;
+        return true;
+    };
+    long out = 0;
+    const char* p = buf;
+    const char* const end = buf + nbytes;
+    while (p < end) {
+        const char* nl =
+            static_cast<const char*>(std::memchr(p, '\n', end - p));
+        const char* eol = nl ? nl : end;
+        const char* fb[4] = {nullptr, nullptr, nullptr, nullptr};
+        const char* fe[4] = {nullptr, nullptr, nullptr, nullptr};
+        int col = 0;
+        const char* fs = p;
+        for (const char* q = p; q <= eol && col <= 13; ++q) {
+            if (q == eol || *q == '\t') {
+                switch (col) {
+                    case 1: fb[0] = fs; fe[0] = q; break;
+                    case 6: fb[1] = fs; fe[1] = q; break;
+                    case 8: fb[2] = fs; fe[2] = q; break;
+                    case 13: fb[3] = fs; fe[3] = q; break;
+                    default: break;
+                }
+                ++col;
+                fs = q + 1;
+            }
+        }
+        p = nl ? nl + 1 : end;
+        if (!fb[3]) continue;  // short row: no column 13
+        const int a = lookup(fb[0], fe[0]);
+        const int b = lookup(fb[2], fe[2]);
+        if (a < 0 || b < 0) continue;
+        int64_t v1, v2;
+        if (!num(fb[1], fe[1], &v1) || !num(fb[3], fe[3], &v2)) continue;
+        c1[out] = a;
+        p1[out] = v1;
+        c2[out] = b;
+        p2[out] = v2;
+        ++out;
+    }
+    return out;
+}
+
 int hicio_merge_sorted(const char** paths, int n, const char* out_path,
                        int mode) {
     std::vector<std::ifstream> streams;

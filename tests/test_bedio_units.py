@@ -49,6 +49,36 @@ def test_iter_valid_matches_batch(tmp_path, genome):
         np.testing.assert_array_equal(a, b)
 
 
+def test_native_parser_matches_pandas(tmp_path, genome, monkeypatch):
+    """The C scanner (hicio_parse_valid_chunk) and the pandas path must
+    agree exactly: chr-prefix stripping, unknown-chrom drops, ragged
+    15/23-column widths, chunk boundaries mid-line."""
+    from hichap_master_tpu.io.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native hicio unavailable")
+    rng = np.random.default_rng(3)
+    p = tmp_path / "mix.bed"
+    names = ["1", "chr1", "2", "chr2", "chrUn", "7"]
+    lines = [_valid_line(names[rng.integers(0, len(names))],
+                         rng.integers(0, 1_000_000),
+                         names[rng.integers(0, len(names))],
+                         rng.integers(0, 1_000_000),
+                         int(rng.choice([15, 23]))) for _ in range(800)]
+    p.write_text("\n".join(lines) + "\n")
+
+    def collect():
+        parts = list(iter_valid_bed([str(p)], genome, read_bytes=777))
+        return [np.concatenate([pt[i] for pt in parts]) for i in range(4)]
+
+    monkeypatch.setenv("HICHAP_NATIVE_BED", "1")
+    native = collect()
+    monkeypatch.setenv("HICHAP_NATIVE_BED", "0")
+    pandas_ = collect()
+    for a, b in zip(native, pandas_):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_allelic_tags_and_stream(tmp_path, genome):
     p = tmp_path / "a.bed"
     p.write_text("1\t100\t2\t200\tBoth\n"
