@@ -200,6 +200,13 @@ def main():
                 out.setdefault("extras", {})["hg19_fullsuite_warm_s"] = \
                     rj.get("total_s")
                 out["extras"]["hg19_fullsuite"] = "recorded"
+                if rj.get("median_total_s") is not None:
+                    # median of >= 5 consecutive warm runs (perf_hg19.py
+                    # run repeatedly; distribution recorded in PERF.md)
+                    out["extras"]["hg19_fullsuite_median_s"] = \
+                        rj.get("median_total_s")
+                    out["extras"]["hg19_fullsuite_samples"] = \
+                        rj.get("sample_totals_s")
         except Exception:
             pass
     rec = os.path.join(_REPO, ".perf_e2e.json")

@@ -74,8 +74,117 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p]
     lib.hicio_parse_valid_chunk.restype = ctypes.c_long
+    lib.hicio_gwacc_new.argtypes = []
+    lib.hicio_gwacc_new.restype = ctypes.c_void_p
+    lib.hicio_gwacc_add.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p, ctypes.c_int64]
+    lib.hicio_gwacc_add.restype = ctypes.c_int
+    lib.hicio_gwacc_size.argtypes = [ctypes.c_void_p]
+    lib.hicio_gwacc_size.restype = ctypes.c_int64
+    lib.hicio_gwacc_total.argtypes = [ctypes.c_void_p]
+    lib.hicio_gwacc_total.restype = ctypes.c_double
+    lib.hicio_gwacc_export.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_void_p]
+    lib.hicio_gwacc_export.restype = ctypes.c_int
+    lib.hicio_gwacc_export_coo.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                           ctypes.c_void_p, ctypes.c_void_p,
+                                           ctypes.c_void_p]
+    lib.hicio_gwacc_export_coo.restype = ctypes.c_int
+    lib.hicio_gwacc_free.argtypes = [ctypes.c_void_p]
+    lib.hicio_gwacc_free.restype = None
     _lib = lib
     return _lib
+
+
+class GwAccumulator:
+    """Native genome-wide key accumulator (int64 pixel key → f64 count).
+
+    Open-addressing hash in C++ (native/hicio.cpp hicio_gwacc_*): O(1)
+    amortized per occurrence vs the numpy sort+merge compaction's
+    O(log n), which dominated the e2e matrix-stage stream.  ``export``
+    returns the unique keys sorted ascending with their counts,
+    non-destructively.  Construct via ``gw_accumulator()`` which returns
+    None when the native library is unavailable (callers keep the numpy
+    fallback)."""
+
+    __slots__ = ("_lib", "_h")
+
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        self._h = lib.hicio_gwacc_new()
+        if not self._h:
+            raise MemoryError("hicio_gwacc_new failed")
+
+    def add(self, keys, weights=None) -> None:
+        import numpy as np
+
+        k = np.ascontiguousarray(keys, np.int64)
+        if k.size == 0:
+            return
+        wp = None
+        if weights is not None:
+            w = np.ascontiguousarray(weights, np.float64)
+            assert w.size == k.size
+            wp = w.ctypes.data_as(ctypes.c_void_p)
+        rc = self._lib.hicio_gwacc_add(
+            self._h, k.ctypes.data_as(ctypes.c_void_p), wp, k.size)
+        if rc != 0:
+            raise MemoryError("hicio_gwacc_add allocation failure")
+
+    def size(self) -> int:
+        return int(self._lib.hicio_gwacc_size(self._h))
+
+    def total(self) -> float:
+        return float(self._lib.hicio_gwacc_total(self._h))
+
+    def export(self):
+        import numpy as np
+
+        n = self.size()
+        keys = np.empty(n, np.int64)
+        cnts = np.empty(n, np.float64)
+        rc = self._lib.hicio_gwacc_export(
+            self._h, keys.ctypes.data_as(ctypes.c_void_p),
+            cnts.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            raise MemoryError("hicio_gwacc_export allocation failure")
+        return keys, cnts
+
+    def export_coo(self, S: int):
+        """Sorted (rows, cols, counts) with rows = key // S, cols = key % S
+        computed natively in the export pass."""
+        import numpy as np
+
+        n = self.size()
+        rows = np.empty(n, np.int64)
+        cols = np.empty(n, np.int64)
+        cnts = np.empty(n, np.float64)
+        rc = self._lib.hicio_gwacc_export_coo(
+            self._h, S, rows.ctypes.data_as(ctypes.c_void_p),
+            cols.ctypes.data_as(ctypes.c_void_p),
+            cnts.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            raise MemoryError("hicio_gwacc_export_coo failure")
+        return rows, cols, cnts
+
+    def __del__(self):
+        h, self._h = self._h, None
+        if h:
+            self._lib.hicio_gwacc_free(h)
+
+
+def gw_accumulator() -> Optional[GwAccumulator]:
+    """A native accumulator, or None (library missing or
+    ``HICHAP_NATIVE_GWACC=0``) — callers fall back to the numpy path."""
+    if os.environ.get("HICHAP_NATIVE_GWACC", "1") == "0":
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    try:
+        return GwAccumulator(lib)
+    except MemoryError:
+        return None
 
 
 def parse_valid_chunk(buf: bytes, labels: Sequence[str]):

@@ -392,3 +392,214 @@ int hicio_merge_sorted(const char** paths, int n, const char* out_path,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Genome-wide COO accumulator.
+//
+// The matrix stage streams O(10^8) binned contact keys (lo * S + hi) and
+// needs the O(10^7) unique pixels with their counts, sorted, at the end
+// (the layout coolers are written in).  The former numpy path sorted each
+// 16M-key pending block and merge-inserted it into the sorted-unique
+// accumulation — O(n log n) comparisons plus a full reallocating merge
+// per block, measured as the dominant wall of the 50M-pair end-to-end
+// stream at 10 kb.  This is the O(n) replacement: an open-addressing
+// linear-probe hash table (splitmix64 finalizer, load <= 0.5) keyed by
+// the int64 pixel key, one fused multiply-add per occurrence, with a
+// single sort of the unique survivors at export.  Memory is
+// O(unique pixels), same as the numpy path.
+namespace {
+
+struct GwAcc {
+    std::vector<int64_t> key;  // slot -> pixel key, -1 = empty
+    std::vector<double> cnt;
+    uint64_t mask = 0;
+    int64_t used = 0;
+
+    static uint64_t mix(uint64_t x) {  // splitmix64 finalizer
+        x += 0x9e3779b97f4a7c15ull;
+        x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
+        x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
+        return x ^ (x >> 31);
+    }
+
+    bool init(size_t cap) {
+        key.assign(cap, -1);
+        cnt.assign(cap, 0.0);
+        mask = cap - 1;
+        used = 0;
+        return true;
+    }
+
+    bool grow() {
+        std::vector<int64_t> ok;
+        std::vector<double> oc;
+        ok.swap(key);
+        oc.swap(cnt);
+        const uint64_t ocap = mask + 1;
+        if (!init(ocap * 2)) return false;
+        for (uint64_t i = 0; i < ocap; ++i) {
+            if (ok[i] < 0) continue;
+            uint64_t j = mix(static_cast<uint64_t>(ok[i])) & mask;
+            while (key[j] >= 0) j = (j + 1) & mask;
+            key[j] = ok[i];
+            cnt[j] = oc[i];
+            ++used;
+        }
+        return true;
+    }
+
+    inline void add1(int64_t k, double w) {
+        uint64_t i = mix(static_cast<uint64_t>(k)) & mask;
+        for (;;) {
+            const int64_t cur = key[i];
+            if (cur == k) {
+                cnt[i] += w;
+                return;
+            }
+            if (cur < 0) {
+                key[i] = k;
+                cnt[i] = w;
+                ++used;
+                return;
+            }
+            i = (i + 1) & mask;
+        }
+    }
+};
+
+// LSD radix sort of (key, count) pairs by key, 16-bit digits — ~3 passes
+// for genome-wide pixel keys (< S^2 ≈ 2^39 at diploid hg19 10 kb) vs
+// log2(33M) ≈ 25 comparison levels for std::sort; measured ~3x faster at
+// the 30M-pixel export.
+static void radix_sort_pairs(std::vector<std::pair<int64_t, double>>& a) {
+    if (a.size() < (1u << 15)) {
+        std::sort(a.begin(), a.end(),
+                  [](const std::pair<int64_t, double>& x,
+                     const std::pair<int64_t, double>& y) {
+                      return x.first < y.first;
+                  });
+        return;
+    }
+    int64_t mx = 0;
+    for (const auto& p : a) mx = std::max(mx, p.first);
+    std::vector<std::pair<int64_t, double>> b(a.size());
+    std::vector<size_t> hist(1 << 16);
+    int shift = 0;
+    while ((mx >> shift) != 0) {
+        std::fill(hist.begin(), hist.end(), 0);
+        for (const auto& p : a)
+            ++hist[(static_cast<uint64_t>(p.first) >> shift) & 0xFFFF];
+        size_t run = 0;
+        for (auto& h : hist) {
+            const size_t c = h;
+            h = run;
+            run += c;
+        }
+        for (const auto& p : a)
+            b[hist[(static_cast<uint64_t>(p.first) >> shift) & 0xFFFF]++] = p;
+        a.swap(b);
+        shift += 16;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* hicio_gwacc_new(void) {
+    auto* a = new (std::nothrow) GwAcc();
+    if (a == nullptr) return nullptr;
+    try {
+        a->init(1 << 16);
+    } catch (...) {
+        delete a;
+        return nullptr;
+    }
+    return a;
+}
+
+// Accumulate n keys; weights w may be NULL (each occurrence counts 1.0).
+// Negative keys are skipped (callers bound-filter, this is a backstop).
+// Returns 0; 1 on allocation failure (the accumulator stays usable with
+// whatever was inserted before the failure).
+int hicio_gwacc_add(void* h, const int64_t* keys, const double* w,
+                    int64_t n) {
+    auto* a = static_cast<GwAcc*>(h);
+    for (int64_t i = 0; i < n; ++i) {
+        if (keys[i] < 0) continue;
+        if (static_cast<uint64_t>(a->used) * 2 > a->mask) {
+            try {
+                if (!a->grow()) return 1;
+            } catch (...) {
+                return 1;
+            }
+        }
+        a->add1(keys[i], w ? w[i] : 1.0);
+    }
+    return 0;
+}
+
+int64_t hicio_gwacc_size(void* h) {
+    return static_cast<GwAcc*>(h)->used;
+}
+
+double hicio_gwacc_total(void* h) {
+    auto* a = static_cast<GwAcc*>(h);
+    double t = 0.0;
+    const uint64_t cap = a->mask + 1;
+    for (uint64_t i = 0; i < cap; ++i)
+        if (a->key[i] >= 0) t += a->cnt[i];
+    return t;
+}
+
+// Write the unique (key, count) pairs sorted ascending by key into
+// caller-allocated arrays of hicio_gwacc_size() elements.  Non-destructive.
+int hicio_gwacc_export(void* h, int64_t* keys_out, double* cnts_out) {
+    auto* a = static_cast<GwAcc*>(h);
+    const uint64_t cap = a->mask + 1;
+    std::vector<std::pair<int64_t, double>> items;
+    try {
+        items.reserve(static_cast<size_t>(a->used));
+        for (uint64_t i = 0; i < cap; ++i)
+            if (a->key[i] >= 0) items.emplace_back(a->key[i], a->cnt[i]);
+        radix_sort_pairs(items);
+    } catch (...) {
+        return 1;
+    }
+    for (size_t i = 0; i < items.size(); ++i) {
+        keys_out[i] = items[i].first;
+        cnts_out[i] = items[i].second;
+    }
+    return 0;
+}
+
+// Sorted export straight to COO: rows = key / S, cols = key %% S computed
+// in the same pass (the Python-side divmod over tens of millions of int64
+// was a measured multi-second wall of coo()).  Non-destructive.
+int hicio_gwacc_export_coo(void* h, int64_t S, int64_t* rows_out,
+                           int64_t* cols_out, double* cnts_out) {
+    auto* a = static_cast<GwAcc*>(h);
+    if (S <= 0) return 1;
+    const uint64_t cap = a->mask + 1;
+    std::vector<std::pair<int64_t, double>> items;
+    try {
+        items.reserve(static_cast<size_t>(a->used));
+        for (uint64_t i = 0; i < cap; ++i)
+            if (a->key[i] >= 0) items.emplace_back(a->key[i], a->cnt[i]);
+        radix_sort_pairs(items);
+    } catch (...) {
+        return 1;
+    }
+    for (size_t i = 0; i < items.size(); ++i) {
+        rows_out[i] = items[i].first / S;
+        cols_out[i] = items[i].first % S;
+        cnts_out[i] = items[i].second;
+    }
+    return 0;
+}
+
+void hicio_gwacc_free(void* h) {
+    delete static_cast<GwAcc*>(h);
+}
+
+}  // extern "C"

@@ -41,6 +41,7 @@ from ..io.bedio import (
     iter_valid_bed,
 )
 from ..io.cooler import CoolerReader, write_cooler
+from ..io.native import gw_accumulator
 from ..ops.balance import ice_balance
 from ..ops.binning import (
     bin_genomewide,
@@ -116,16 +117,22 @@ def _merge_sorted_counts(keys, cnts, nk, nc):
 class SparseGW:
     """Genome-wide contact accumulator in upper-triangle COO key space.
 
-    Pending binned pairs compact periodically, so host memory stays
-    O(unique pixels) — the same order as the cooler this will be written
-    to.  ``self.keys`` is maintained sorted-unique: each compaction sorts
-    ONLY the pending block and searchsorted-merges it in, instead of
-    re-sorting the whole accumulation through np.unique.  Matches
-    ``bin_genomewide`` semantics (symmetric count; diagonal counted
-    once)."""
+    Host memory stays O(unique pixels) — the same order as the cooler
+    this will be written to.  Two backends, identical outputs:
+
+    * native (default when ``libhicio.so`` builds): an open-addressing
+      C++ hash (io/native.gw_accumulator) — O(1) per occurrence, one
+      sort of the unique survivors at ``coo()``;
+    * numpy fallback (``HICHAP_NATIVE_GWACC=0`` or no compiler):
+      ``self.keys`` maintained sorted-unique; each compaction sorts ONLY
+      the pending block and searchsorted-merges it in.
+
+    Matches ``bin_genomewide`` semantics (symmetric count; diagonal
+    counted once; out-of-bounds bins dropped like XLA scatter)."""
 
     def __init__(self, S: int, compact_every: int = 1 << 24):
         self.S = S
+        self._nat = gw_accumulator()
         self.keys = np.zeros(0, np.int64)
         self.cnts = np.zeros(0, np.float64)
         self._pend: List[np.ndarray] = []
@@ -139,7 +146,11 @@ class SparseGW:
         b1, b2 = b1[ok], b2[ok]
         lo = np.minimum(b1, b2).astype(np.int64)
         hi = np.maximum(b1, b2).astype(np.int64)
-        self._pend.append(lo * self.S + hi)
+        keys = lo * self.S + hi
+        if self._nat is not None:
+            self._nat.add(keys)
+            return
+        self._pend.append(keys)
         self._pend_n += lo.size
         if self._pend_n >= self._compact_every:
             self._compact()
@@ -152,9 +163,18 @@ class SparseGW:
             self.keys, self.cnts, nk, nc)
         self._pend, self._pend_n = [], 0
 
-    def coo(self):
+    def _items(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Sorted-unique (keys, counts) snapshot (non-destructive)."""
+        if self._nat is not None:
+            return self._nat.export()
         self._compact()
-        return self.keys // self.S, self.keys % self.S, self.cnts
+        return self.keys, self.cnts
+
+    def coo(self):
+        if self._nat is not None:
+            return self._nat.export_coo(self.S)
+        keys, cnts = self._items()
+        return keys // self.S, keys % self.S, cnts
 
     def __add__(self, other):
         if not isinstance(other, SparseGW):  # sum() starts from 0
@@ -162,11 +182,15 @@ class SparseGW:
                 return self
             return NotImplemented
         assert self.S == other.S
-        self._compact()
-        other._compact()
         out = SparseGW(self.S)
-        out.keys, out.cnts = _merge_sorted_counts(
-            self.keys.copy(), self.cnts.copy(), other.keys, other.cnts)
+        k1, c1 = self._items()
+        k2, c2 = other._items()
+        if out._nat is not None:
+            out._nat.add(k1, c1)
+            out._nat.add(k2, c2)
+        else:
+            out.keys, out.cnts = _merge_sorted_counts(
+                k1.copy(), c1.copy(), k2, c2)
         return out
 
     __radd__ = __add__
@@ -178,11 +202,13 @@ class SparseDirectedGW:
     The haplotype Imputated matrix is *asymmetric*: single-side intra
     contacts and inter disk-vote winners land at their literal (row, col)
     (one triangle each, matrixBuilding.py:1295-1301); the symmetric
-    UnImputated base folds in via ``add_symmetric``.  Same compaction
-    strategy as ``SparseGW`` — host memory stays O(unique pixels)."""
+    UnImputated base folds in via ``add_symmetric``.  Same two backends
+    as ``SparseGW`` (native hash / numpy merge-compaction) — host memory
+    stays O(unique pixels)."""
 
     def __init__(self, S: int, compact_every: int = 1 << 24):
         self.S = S
+        self._nat = gw_accumulator()
         self.keys = np.zeros(0, np.int64)
         self.cnts = np.zeros(0, np.float64)
         self._pend: List[Tuple[np.ndarray, np.ndarray]] = []
@@ -196,8 +222,12 @@ class SparseDirectedGW:
         c = np.asarray(c, np.int64)
         ok = (r >= 0) & (r < self.S) & (c >= 0) & (c < self.S)
         r, c = r[ok], c[ok]
+        keys = r * self.S + c
         w = np.ones(r.size) if w is None else np.asarray(w, np.float64)[ok]
-        self._pend.append((r * self.S + c, w))
+        if self._nat is not None:
+            self._nat.add(keys, w)
+            return
+        self._pend.append((keys, w))
         self._pend_n += r.size
         if self._pend_n >= self._compact_every:
             self._compact()
@@ -209,6 +239,10 @@ class SparseDirectedGW:
         cols = np.asarray(cols, np.int64)
         vals = np.asarray(vals, np.float64)
         off = rows != cols
+        if self._nat is not None:
+            self._nat.add(rows * self.S + cols, vals)
+            self._nat.add(cols[off] * self.S + rows[off], vals[off])
+            return
         self._pend.append((rows * self.S + cols, vals))
         self._pend.append((cols[off] * self.S + rows[off], vals[off]))
         self._pend_n += rows.size + int(off.sum())
@@ -230,11 +264,22 @@ class SparseDirectedGW:
             self.keys, self.cnts, nk, nc)
         self._pend, self._pend_n = [], 0
 
-    def coo(self):
+    def _items(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Sorted-unique (keys, counts) snapshot (non-destructive)."""
+        if self._nat is not None:
+            return self._nat.export()
         self._compact()
-        return self.keys // self.S, self.keys % self.S, self.cnts
+        return self.keys, self.cnts
+
+    def coo(self):
+        if self._nat is not None:
+            return self._nat.export_coo(self.S)
+        keys, cnts = self._items()
+        return keys // self.S, keys % self.S, cnts
 
     def sum(self) -> float:
+        if self._nat is not None:
+            return self._nat.total()
         self._compact()
         return float(self.cnts.sum())
 
@@ -244,11 +289,15 @@ class SparseDirectedGW:
                 return self
             return NotImplemented
         assert self.S == other.S
-        self._compact()
-        other._compact()
         out = SparseDirectedGW(self.S)
-        out.keys, out.cnts = _merge_sorted_counts(
-            self.keys.copy(), self.cnts.copy(), other.keys, other.cnts)
+        k1, c1 = self._items()
+        k2, c2 = other._items()
+        if out._nat is not None:
+            out._nat.add(k1, c1)
+            out._nat.add(k2, c2)
+        else:
+            out.keys, out.cnts = _merge_sorted_counts(
+                k1.copy(), c1.copy(), k2, c2)
         return out
 
     __radd__ = __add__

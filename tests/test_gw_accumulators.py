@@ -1,20 +1,39 @@
 """Oracle parity for the sparse genome-wide accumulators.
 
-The merge-compaction path (sort the pending block, run-length reduce,
-searchsorted-merge into the sorted-unique accumulation — pipeline/
-matrix.py) must match a dense np.add.at oracle exactly: same pixels in
-the same (row, col)-sorted order, same counts, including out-of-bounds
-drops (XLA scatter parity), the symmetric diagonal-once rule
-(reference matrixBuilding.py:588-592), directed weighted increments
+Both backends — the native C++ hash (io/native.gw_accumulator) and the
+numpy merge-compaction fallback (sort the pending block, run-length
+reduce, searchsorted-merge into the sorted-unique accumulation —
+pipeline/matrix.py) — must match a dense np.add.at oracle exactly: same
+pixels in the same (row, col)-sorted order, same counts, including
+out-of-bounds drops (XLA scatter parity), the symmetric diagonal-once
+rule (reference matrixBuilding.py:588-592), directed weighted increments
 (matrixBuilding.py:1295-1301), add_symmetric folding, and __add__
-merges.  Small compact_every forces many merge rounds."""
+merges.  Small compact_every forces many merge rounds in the numpy
+path; the ``backend`` fixture runs every test under both."""
 
 import numpy as np
 import pytest
 
+from hichap_master_tpu.io.native import gw_accumulator
 from hichap_master_tpu.pipeline.matrix import SparseDirectedGW, SparseGW
 
 S = 997  # prime: no accidental alignment with key arithmetic
+
+
+@pytest.fixture(params=["native", "numpy"], autouse=True)
+def backend(request, monkeypatch):
+    if request.param == "native":
+        monkeypatch.setenv("HICHAP_NATIVE_GWACC", "1")
+        if gw_accumulator() is None:
+            pytest.skip("native hicio unavailable")
+    else:
+        monkeypatch.setenv("HICHAP_NATIVE_GWACC", "0")
+    return request.param
+
+
+def test_backend_selection(backend):
+    acc = SparseGW(S)
+    assert (acc._nat is not None) == (backend == "native")
 
 
 def test_sparse_gw_matches_dense_oracle():
