@@ -565,8 +565,24 @@ class _GWAcc:
 
 
 class _IntraAcc:
-    """Streaming per-chromosome intra accumulator — the incremental form of
-    ``accumulate_intra`` ([G, N, N] device buckets, same semantics)."""
+    """Streaming per-chromosome intra accumulator with the same outputs as
+    ``accumulate_intra`` ([G, N, N] buckets per padded-size group).
+
+    Two backends:
+
+    * ``host`` (default) — group-cell keys (group offset + g*N*N + r*N + c)
+      into the native hash accumulator (numpy bincount-flush fallback),
+      densified once at ``finish``.  Streaming ingestion is host work;
+      keeping it off the device avoids shipping every chunk up AND the
+      [G, N, N] buckets back down — ~2 GB of round-trip on the tunneled
+      chip for the 50M-pair e2e, where the device scatter-adds themselves
+      serialize anyway (TPU scatter is not an MXU op).
+    * ``device`` (``HICHAP_HOST_INTRA=0``) — chunked XLA scatter-adds into
+      device buckets (wins only when the host→device link is fast and the
+      stream is long enough to hide transfers).
+
+    Both drop out-of-bounds bins the way XLA scatter does, so outputs are
+    identical."""
 
     def __init__(self, genome: Genome, res: int, single_side: bool = False):
         self.res = res
@@ -575,13 +591,24 @@ class _IntraAcc:
         self.groups = bucket_groups(genome.labels, self.nb)
         label_idx = {c: i for i, c in enumerate(genome.labels)}
         self.gpos: List[np.ndarray] = []
-        self.dev: List[jnp.ndarray] = []
-        self.bufs: List[_ChunkBuffer] = []
-        for group, N in self.groups:
+        for group, _N in self.groups:
             pos = np.full(len(genome.labels), -1, np.int32)
             for k, c in enumerate(group):
                 pos[label_idx[c]] = k
             self.gpos.append(pos)
+        self.host_mode = os.environ.get("HICHAP_HOST_INTRA", "1") != "0"
+        if self.host_mode:
+            cells = [len(group) * N * N for group, N in self.groups]
+            self._cell_off = np.concatenate(
+                [[0], np.cumsum(cells)]).astype(np.int64)
+            self._acc = gw_accumulator()
+            self._flat: np.ndarray | None = None
+            self._pend: List[np.ndarray] = []
+            self._pend_n = 0
+            return
+        self.dev: List[jnp.ndarray] = []
+        self.bufs: List[_ChunkBuffer] = []
+        for group, N in self.groups:
             self.dev.append(jnp.zeros((len(group), N, N), jnp.float32))
             gi = len(self.dev) - 1
             self.bufs.append(_ChunkBuffer(4 if single_side else 3,
@@ -603,8 +630,51 @@ class _IntraAcc:
                     jnp.asarray(a), jnp.asarray(d), vj, self.res)
         return emit
 
+    # ------------------------------------------------------- host backend
+    def _push(self, keys: np.ndarray) -> None:
+        if self._acc is not None:
+            self._acc.add(keys)
+            return
+        self._pend.append(keys)
+        self._pend_n += keys.size
+        if self._pend_n >= 1 << 26:
+            self._host_flush()
+
+    def _host_flush(self) -> None:
+        if not self._pend:
+            return
+        keys = np.concatenate(self._pend)
+        if self._flat is None:
+            self._flat = np.zeros(int(self._cell_off[-1]), np.float32)
+        self._flat += np.bincount(keys, minlength=self._flat.size)
+        self._pend, self._pend_n = [], 0
+
     def add(self, c1, p1, c2, p2, tags=None) -> None:
         intra = c1 == c2
+        if self.host_mode:
+            b1 = (np.asarray(p1) // self.res).astype(np.int64)
+            b2 = (np.asarray(p2) // self.res).astype(np.int64)
+            for gi, (group, N) in enumerate(self.groups):
+                pos = self.gpos[gi]
+                sel = intra & (pos[c1] >= 0)
+                if not sel.any():
+                    continue
+                a, b = b1[sel], b2[sel]
+                # XLA scatter drops out-of-bounds updates; mirror it
+                ok = (a >= 0) & (a < N) & (b >= 0) & (b < N)
+                g = pos[c1[sel]][ok].astype(np.int64)
+                a, b = a[ok], b[ok]
+                base = self._cell_off[gi] + g * (N * N)
+                if self.single:
+                    r1 = tags[sel][ok] == TAG_R1
+                    r = np.where(r1, a, b)
+                    c = np.where(r1, b, a)
+                    self._push(base + r * N + c)
+                else:
+                    self._push(base + a * N + b)
+                    off = a != b
+                    self._push(base[off] + b[off] * N + a[off])
+            return
         for gi in range(len(self.groups)):
             pos = self.gpos[gi]
             sel = intra & (pos[c1] >= 0)
@@ -617,6 +687,22 @@ class _IntraAcc:
 
     def finish(self) -> Dict[str, np.ndarray]:
         out: Dict[str, np.ndarray] = {}
+        if self.host_mode:
+            if self._acc is not None:
+                keys, cnts = self._acc.export()
+                flat = np.zeros(int(self._cell_off[-1]), np.float32)
+                flat[keys] = cnts  # keys unique: assignment fill
+            else:
+                self._host_flush()
+                flat = (self._flat if self._flat is not None
+                        else np.zeros(int(self._cell_off[-1]), np.float32))
+            for gi, (group, N) in enumerate(self.groups):
+                blk = flat[self._cell_off[gi]:self._cell_off[gi + 1]]
+                host = blk.reshape(len(group), N, N)
+                for k, c in enumerate(group):
+                    n = self.nb[c]
+                    out[c] = host[k, :n, :n]
+            return out
         for gi, (group, _N) in enumerate(self.groups):
             self.bufs[gi].close()
             host = np.asarray(self.dev[gi])

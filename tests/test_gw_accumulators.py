@@ -89,6 +89,46 @@ def test_sparse_directed_gw_weighted_and_add():
     assert np.allclose(sum([parts[0], parts[1]]).coo()[2], v)
 
 
+def test_intra_acc_host_matches_device(backend, monkeypatch):
+    """_IntraAcc host mode (hash or bincount fallback) == device scatter
+    mode, both flavors (symmetric and single-side), incl. out-of-bounds
+    drops.  The genome has one chromosome whose length is an exact
+    multiple of the resolution (bin-count edge)."""
+    from hichap_master_tpu.core import Genome
+    from hichap_master_tpu.io.bedio import TAG_R1, TAG_R2
+    from hichap_master_tpu.pipeline.matrix import _IntraAcc
+
+    g = Genome({"1": 123_456, "2": 80_000, "X": 55_555})
+    res = 10_000
+    rng = np.random.default_rng(23)
+    nc = len(g.labels)
+    chunks = []
+    for _ in range(4):
+        c1 = rng.integers(0, nc, 5_000).astype(np.int32)
+        c2 = np.where(rng.random(5_000) < 0.7, c1,
+                      rng.integers(0, nc, 5_000)).astype(np.int32)
+        sizes = np.array([g.sizes[c] for c in g.labels])
+        # a few positions past the chromosome end probe the OOB drop
+        p1 = (rng.random(5_000) * sizes[c1] * 1.01).astype(np.int64)
+        p2 = (rng.random(5_000) * sizes[c2] * 1.01).astype(np.int64)
+        tags = np.where(rng.random(5_000) < 0.5, TAG_R1, TAG_R2)
+        chunks.append((c1, p1, c2, p2, tags))
+
+    for single in (False, True):
+        outs = []
+        for mode in ("1", "0"):
+            monkeypatch.setenv("HICHAP_HOST_INTRA", mode)
+            acc = _IntraAcc(g, res, single_side=single)
+            for c1, p1, c2, p2, tags in chunks:
+                acc.add(c1, p1, c2, p2, tags=tags)
+            outs.append(acc.finish())
+        host, dev = outs
+        assert set(host) == set(dev) == set(g.labels)
+        for c in g.labels:
+            np.testing.assert_array_equal(host[c], np.asarray(dev[c]),
+                                          err_msg=f"{c} single={single}")
+
+
 def test_compact_every_invariance():
     """The same stream compacted at different cadences is identical."""
     rng = np.random.default_rng(17)
