@@ -601,6 +601,16 @@ class _IntraAcc:
             cells = [len(group) * N * N for group, N in self.groups]
             self._cell_off = np.concatenate(
                 [[0], np.cumsum(cells)]).astype(np.int64)
+            # every chromosome lives in exactly one (group, slot): flat
+            # per-label base offset and padded width let add() build keys
+            # in ONE vectorized pass instead of a per-group mask loop
+            self._base = np.full(len(genome.labels), -1, np.int64)
+            self._width = np.ones(len(genome.labels), np.int64)
+            for gi, (group, N) in enumerate(self.groups):
+                for k, c in enumerate(group):
+                    li = label_idx[c]
+                    self._base[li] = self._cell_off[gi] + k * (N * N)
+                    self._width[li] = N
             self._acc = gw_accumulator()
             self._flat: np.ndarray | None = None
             self._pend: List[np.ndarray] = []
@@ -652,28 +662,23 @@ class _IntraAcc:
     def add(self, c1, p1, c2, p2, tags=None) -> None:
         intra = c1 == c2
         if self.host_mode:
-            b1 = (np.asarray(p1) // self.res).astype(np.int64)
-            b2 = (np.asarray(p2) // self.res).astype(np.int64)
-            for gi, (group, N) in enumerate(self.groups):
-                pos = self.gpos[gi]
-                sel = intra & (pos[c1] >= 0)
-                if not sel.any():
-                    continue
-                a, b = b1[sel], b2[sel]
-                # XLA scatter drops out-of-bounds updates; mirror it
-                ok = (a >= 0) & (a < N) & (b >= 0) & (b < N)
-                g = pos[c1[sel]][ok].astype(np.int64)
-                a, b = a[ok], b[ok]
-                base = self._cell_off[gi] + g * (N * N)
-                if self.single:
-                    r1 = tags[sel][ok] == TAG_R1
-                    r = np.where(r1, a, b)
-                    c = np.where(r1, b, a)
-                    self._push(base + r * N + c)
-                else:
-                    self._push(base + a * N + b)
-                    off = a != b
-                    self._push(base[off] + b[off] * N + a[off])
+            a = (np.asarray(p1)[intra] // self.res).astype(np.int64)
+            b = (np.asarray(p2)[intra] // self.res).astype(np.int64)
+            ci = np.asarray(c1)[intra]
+            width = self._width[ci]
+            # XLA scatter drops out-of-bounds updates; mirror it
+            ok = (a >= 0) & (a < width) & (b >= 0) & (b < width)
+            a, b, ci, width = a[ok], b[ok], ci[ok], width[ok]
+            base = self._base[ci]
+            if self.single:
+                r1 = tags[intra][ok] == TAG_R1
+                r = np.where(r1, a, b)
+                c = np.where(r1, b, a)
+                self._push(base + r * width + c)
+            else:
+                self._push(base + a * width + b)
+                off = a != b
+                self._push(base[off] + b[off] * width[off] + a[off])
             return
         for gi in range(len(self.groups)):
             pos = self.gpos[gi]
