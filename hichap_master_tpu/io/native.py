@@ -107,13 +107,19 @@ class GwAccumulator:
     None when the native library is unavailable (callers keep the numpy
     fallback)."""
 
-    __slots__ = ("_lib", "_h")
+    __slots__ = ("_lib", "_h", "_coo_cache", "_kv_cache")
 
     def __init__(self, lib: ctypes.CDLL):
         self._lib = lib
         self._h = lib.hicio_gwacc_new()
         if not self._h:
             raise MemoryError("hicio_gwacc_new failed")
+        # export memoization: consumers (per-chromosome margin loops,
+        # repeated cooler writes) call coo()/export() many times between
+        # adds; the radix export of tens of millions of pixels is seconds,
+        # so cache it and invalidate on the next add
+        self._coo_cache = None  # (S, rows, cols, cnts)
+        self._kv_cache = None   # (keys, cnts)
 
     def add(self, keys, weights=None) -> None:
         import numpy as np
@@ -121,6 +127,8 @@ class GwAccumulator:
         k = np.ascontiguousarray(keys, np.int64)
         if k.size == 0:
             return
+        self._coo_cache = None
+        self._kv_cache = None
         wp = None
         if weights is not None:
             w = np.ascontiguousarray(weights, np.float64)
@@ -140,6 +148,8 @@ class GwAccumulator:
     def export(self):
         import numpy as np
 
+        if self._kv_cache is not None:
+            return self._kv_cache
         n = self.size()
         keys = np.empty(n, np.int64)
         cnts = np.empty(n, np.float64)
@@ -148,6 +158,7 @@ class GwAccumulator:
             cnts.ctypes.data_as(ctypes.c_void_p))
         if rc != 0:
             raise MemoryError("hicio_gwacc_export allocation failure")
+        self._kv_cache = (keys, cnts)
         return keys, cnts
 
     def export_coo(self, S: int):
@@ -155,6 +166,8 @@ class GwAccumulator:
         computed natively in the export pass."""
         import numpy as np
 
+        if self._coo_cache is not None and self._coo_cache[0] == S:
+            return self._coo_cache[1:]
         n = self.size()
         rows = np.empty(n, np.int64)
         cols = np.empty(n, np.int64)
@@ -165,6 +178,7 @@ class GwAccumulator:
             cnts.ctypes.data_as(ctypes.c_void_p))
         if rc != 0:
             raise MemoryError("hicio_gwacc_export_coo failure")
+        self._coo_cache = (S, rows, cols, cnts)
         return rows, cols, cnts
 
     def __del__(self):

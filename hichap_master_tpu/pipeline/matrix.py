@@ -133,6 +133,7 @@ class SparseGW:
     def __init__(self, S: int, compact_every: int = 1 << 24):
         self.S = S
         self._nat = gw_accumulator()
+        self._intra_margins = None
         self.keys = np.zeros(0, np.int64)
         self.cnts = np.zeros(0, np.float64)
         self._pend: List[np.ndarray] = []
@@ -147,6 +148,7 @@ class SparseGW:
         lo = np.minimum(b1, b2).astype(np.int64)
         hi = np.maximum(b1, b2).astype(np.int64)
         keys = lo * self.S + hi
+        self._intra_margins = None
         if self._nat is not None:
             self._nat.add(keys)
             return
@@ -209,6 +211,7 @@ class SparseDirectedGW:
     def __init__(self, S: int, compact_every: int = 1 << 24):
         self.S = S
         self._nat = gw_accumulator()
+        self._intra_margins = None
         self.keys = np.zeros(0, np.int64)
         self.cnts = np.zeros(0, np.float64)
         self._pend: List[Tuple[np.ndarray, np.ndarray]] = []
@@ -223,6 +226,7 @@ class SparseDirectedGW:
         ok = (r >= 0) & (r < self.S) & (c >= 0) & (c < self.S)
         r, c = r[ok], c[ok]
         keys = r * self.S + c
+        self._intra_margins = None
         w = np.ones(r.size) if w is None else np.asarray(w, np.float64)[ok]
         if self._nat is not None:
             self._nat.add(keys, w)
@@ -239,6 +243,7 @@ class SparseDirectedGW:
         cols = np.asarray(cols, np.int64)
         vals = np.asarray(vals, np.float64)
         off = rows != cols
+        self._intra_margins = None
         if self._nat is not None:
             self._nat.add(rows * self.S + cols, vals)
             self._nat.add(cols[off] * self.S + rows[off], vals[off])
@@ -961,14 +966,17 @@ def build_haplotype_datasets(
     twhole = {res: _GWAcc(genome.total_bins(res), _gw_is_sparse(genome, res))
               for res in whole_res}
     tlocal = {res: _IntraAcc(genome, res) for res in local_res}
-    for c1, p1, c2, p2 in iter_allelic_bed(all_files, genome, with_tag=False):
-        for res in whole_res:
-            offs = base_offs[res]
-            twhole[res].add_sym(p1 // res + offs[c1], p2 // res + offs[c2])
-        for res in local_res:
-            tlocal[res].add(c1, p1, c2, p2)
-    tradition_whole = {res: twhole[res].finish() for res in whole_res}
-    tradition_local = {res: tlocal[res].finish() for res in local_res}
+    with stage("matrix.hap.pass1_traditional"):
+        for c1, p1, c2, p2 in iter_allelic_bed(all_files, genome,
+                                               with_tag=False):
+            for res in whole_res:
+                offs = base_offs[res]
+                twhole[res].add_sym(p1 // res + offs[c1],
+                                    p2 // res + offs[c2])
+            for res in local_res:
+                tlocal[res].add(c1, p1, c2, p2)
+        tradition_whole = {res: twhole[res].finish() for res in whole_res}
+        tradition_local = {res: tlocal[res].finish() for res in local_res}
 
     # ---- pass 2: haplotype matrices --------------------------------------
     uwhole = {res: _GWAcc(hap.total_bins(res), _gw_is_sparse(hap, res))
@@ -984,8 +992,9 @@ def build_haplotype_datasets(
                     "P": _IntraAcc(genome, res, single_side=True)}
               for res in local_res}
 
-    for cls, with_tag, h1, h2 in (("M_M", True, 0, 0), ("P_P", True, 1, 1),
-                                  ("M_P", False, 0, 1), ("P_M", False, 1, 0)):
+    with stage("matrix.hap.pass2_haplotype"):
+      for cls, with_tag, h1, h2 in (("M_M", True, 0, 0), ("P_P", True, 1, 1),
+                                    ("M_P", False, 0, 1), ("P_M", False, 1, 0)):
         side = "M" if h1 == 0 else "P"
         for part in iter_allelic_bed(beds[cls], genome, with_tag=with_tag):
             if with_tag:
@@ -1087,6 +1096,7 @@ def build_haplotype_datasets(
         state[res] = st
 
     if any_vote:
+      with stage("matrix.hap.pass3_vote"):
         for cls, base in (("M_M", 0), ("P_P", nc)):
             other = nc if base == 0 else -nc
             for c1, p1, c2, p2, tag in iter_allelic_bed(beds[cls], genome,
@@ -1139,17 +1149,8 @@ def _sym_block_margins(T, s: int, e: int):
     """(rowsum, row-nnz) of the intra block [s..e]x[s..e] of a symmetric
     genome-wide matrix stored dense (np [S, S]) or as ``SparseGW``."""
     if isinstance(T, SparseGW):
-        r, c, v = T.coo()
-        sel = (r >= s) & (r <= e) & (c >= s) & (c <= e)
-        rs = np.zeros(e - s + 1, np.float64)
-        nz = np.zeros(e - s + 1, np.float64)
-        rr, cc, vv = r[sel] - s, c[sel] - s, v[sel]
-        np.add.at(rs, rr, vv)
-        np.add.at(nz, rr, vv != 0)
-        off = rr != cc
-        np.add.at(rs, cc[off], vv[off])
-        np.add.at(nz, cc[off], vv[off] != 0)
-        return rs, nz
+        rs, nz = _gw_intra_margins_sym(T)
+        return rs[s : e + 1], nz[s : e + 1]
     block = T[s : e + 1, s : e + 1]
     return block.sum(axis=1), (block != 0).sum(axis=1)
 
@@ -1158,12 +1159,54 @@ def _dir_block_rowsum(H, s: int, e: int):
     """Literal row sums of the intra block of a (possibly asymmetric)
     genome-wide matrix stored dense or as ``SparseDirectedGW``."""
     if isinstance(H, SparseDirectedGW):
-        r, c, v = H.coo()
-        sel = (r >= s) & (r <= e) & (c >= s) & (c <= e)
-        rs = np.zeros(e - s + 1, np.float64)
-        np.add.at(rs, r[sel] - s, v[sel])
-        return rs
+        return _gw_intra_margins_dir(H)[s : e + 1]
     return H[s : e + 1, s : e + 1].sum(axis=1)
+
+
+def _chrom_bounds_of(acc) -> np.ndarray:
+    """Per-accumulator memo of the block boundaries used by the one-pass
+    intra-margin computations (set by ``correct_haplotype_datasets``)."""
+    return acc._intra_bounds  # set immediately before the margin calls
+
+
+def _gw_intra_margins_sym(T: SparseGW):
+    """Per-bin (rowsum, nnz) over INTRA blocks only of a symmetric
+    upper-triangle sparse genome-wide matrix, in one bincount pass
+    (memoized on the accumulator — the per-chromosome masked scans this
+    replaces re-walked the full pixel table ~70 times per correction)."""
+    cached = getattr(T, "_intra_margins", None)
+    if cached is not None:
+        return cached
+    r, c, v = T.coo()
+    ends = _chrom_bounds_of(T)
+    ci_r = np.searchsorted(ends, r, side="left")
+    ci_c = np.searchsorted(ends, c, side="left")
+    intra = ci_r == ci_c
+    ri, ci_, vi = r[intra], c[intra], v[intra]
+    rs = np.bincount(ri, weights=vi, minlength=T.S)
+    nz = np.bincount(ri, weights=(vi != 0).astype(np.float64),
+                     minlength=T.S)
+    off = ri != ci_
+    rs += np.bincount(ci_[off], weights=vi[off], minlength=T.S)
+    nz += np.bincount(ci_[off], weights=(vi[off] != 0).astype(np.float64),
+                      minlength=T.S)
+    T._intra_margins = (rs, nz)
+    return rs, nz
+
+
+def _gw_intra_margins_dir(H: SparseDirectedGW):
+    """Per-bin literal row sums over INTRA blocks of an asymmetric sparse
+    genome-wide matrix, one bincount pass (memoized)."""
+    cached = getattr(H, "_intra_margins", None)
+    if cached is not None:
+        return cached
+    r, c, v = H.coo()
+    ends = _chrom_bounds_of(H)
+    intra = (np.searchsorted(ends, r, side="left")
+             == np.searchsorted(ends, c, side="left"))
+    rs = np.bincount(r[intra], weights=v[intra], minlength=H.S)
+    H._intra_margins = rs
+    return rs
 
 
 def correct_haplotype_datasets(data, genome: Genome,
@@ -1190,6 +1233,10 @@ def correct_haplotype_datasets(data, genome: Genome,
         h_offs = hap.bin_offsets(res)
         alphas = []
         if isinstance(H, SparseDirectedGW):
+            T._intra_bounds = np.asarray(
+                [t_offs[c][1] for c in genome.labels], np.int64)
+            H._intra_bounds = np.asarray(
+                [h_offs[c][1] for c in hap.labels], np.int64)
             for c in genome.labels:
                 s, e = t_offs[c]
                 n = e - s + 1

@@ -1,0 +1,152 @@
+"""TRUE haplotype (diploid) end-to-end at real hg19 sizes: allelic beds →
+haplotype matrix construction (traditional + un-imputed + imputed, sparse
+genome-wide at 10 kb) → two-step correction → three multi-res coolers +
+ICE weights.
+
+This measures the reference's signature diploid capability at production
+scale through the REAL driver (`haplotype_matrix_construction`, the same
+entry the CLI's matrix sub-command hits), not a synthetic-core proxy —
+including the streamed three-pass ingestion, the inter-chromosomal disk
+vote (sparse range-query kernel past the dense cap), correction, and
+persistence.  Reference scale anchor: GM12878 (README.md:52-55); the
+reference itself cannot run wholeRes below ~2 Mb (README.md:312-318),
+so there is no upstream number to compare at 10 kb — the comparison
+point is that it RUNS, bounded, at rates recorded here.
+
+    PERF_HAP_BED=/tmp/perf_hap_XXX/rep1   reuse generated beds
+    PERF_HAP_DIV=4                        divide pair counts (quick mode)
+
+Bed generation is untimed setup.  Stage walls print at the end and land
+in .perf_e2e_hap.json.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "scripts"))
+
+import numpy as np  # noqa: E402
+
+from perf_sparse_gw import HG19  # noqa: E402
+
+DIV = int(os.environ.get("PERF_HAP_DIV", "1"))
+# GM12878-like class mix: bi-allelic dominates; ~23% phased
+N_BI = 20_000_000 // DIV
+N_MM = 3_000_000 // DIV
+N_PP = 3_000_000 // DIV
+N_MP = 300_000 // DIV
+N_PM = 300_000 // DIV
+
+RES_WHOLE = [500_000, 10_000]
+RES_LOCAL = [40_000]
+
+CHROMS = {**{str(i + 1): l for i, l in enumerate(HG19[:22])}, "X": HG19[22]}
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def _gen_pairs(rng, labels, sizes, n, intra_frac=0.75):
+    """Realistic pair columns: cauchy-tailed intra distances + uniform
+    inter, weighted by chromosome length."""
+    w = sizes / sizes.sum()
+    c1 = rng.choice(len(labels), n, p=w).astype(np.int32)
+    intra = rng.random(n) < intra_frac
+    c2 = np.where(intra, c1, rng.choice(len(labels), n, p=w)).astype(np.int32)
+    p1 = (rng.random(n) * sizes[c1]).astype(np.int64)
+    d = np.abs(rng.standard_cauchy(n) * 200_000).astype(np.int64)
+    p2 = np.where(intra, np.minimum(p1 + d, sizes[c1] - 1),
+                  (rng.random(n) * sizes[c2]).astype(np.int64))
+    return c1, p1, c2, p2
+
+
+def _write_bed(path, labels, cols, tags=None):
+    import pandas as pd
+
+    c1, p1, c2, p2 = cols
+    df = {"c1": labels[c1], "p1": p1, "c2": labels[c2], "p2": p2}
+    if tags is not None:
+        df["tag"] = tags
+    pd.DataFrame(df).to_csv(path, sep="\t", header=False, index=False)
+
+
+def generate_beds(rep_dir):
+    os.makedirs(rep_dir, exist_ok=True)
+    rng = np.random.default_rng(42)
+    labels = np.array(list(CHROMS), dtype=object)
+    sizes = np.array(list(CHROMS.values()), np.int64)
+    for cls, n, tagged in (("Bi_Allelic", N_BI, False), ("M_M", N_MM, True),
+                           ("P_P", N_PP, True), ("M_P", N_MP, False),
+                           ("P_M", N_PM, False)):
+        cols = _gen_pairs(rng, labels, sizes, n)
+        tags = None
+        if tagged:
+            # ~40% both-side reads; the rest split R1/R2 single-side
+            tags = rng.choice(np.array(["Both", "R1", "R2"], dtype=object),
+                              n, p=[0.4, 0.3, 0.3])
+        _write_bed(os.path.join(rep_dir, f"HAP_R1_Valid_{cls}.bed"),
+                   labels, cols, tags)
+        log(f"  wrote {cls}: {n/1e6:.1f}M rows")
+    with open(os.path.join(rep_dir, "genomeSize"), "w") as f:
+        for c, l in CHROMS.items():
+            f.write(f"{c}\t{l}\n")
+
+
+def main():
+    import jax
+
+    cache = os.path.join(_REPO, ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+    from hichap_master_tpu.pipeline.matrix import haplotype_matrix_construction
+    from hichap_master_tpu.utils import profiling
+
+    rep = os.environ.get("PERF_HAP_BED")
+    if not rep or not os.path.isdir(rep):
+        base = tempfile.mkdtemp(prefix="perf_hap_")
+        rep = os.path.join(base, "rep1")
+        log(f"generating allelic beds (untimed) → {rep}")
+        generate_beds(rep)
+    total_rows = N_BI + N_MM + N_PP + N_MP + N_PM
+    gb = sum(os.path.getsize(os.path.join(rep, f))
+             for f in os.listdir(rep)) / 2**30
+    log(f"beds {gb:.2f} GB, {total_rows/1e6:.1f}M pairs; "
+        f"backend {os.environ.get('JAX_PLATFORMS', 'device')}")
+
+    out_dir = tempfile.mkdtemp(prefix="perf_hap_out_")
+    profiling.reset_metrics()
+    t0 = time.perf_counter()
+    haplotype_matrix_construction(
+        out_dir, [rep], os.path.join(rep, "genomeSize"),
+        RES_WHOLE, RES_LOCAL)
+    total = time.perf_counter() - t0
+    walls = profiling.metrics()
+    for k in sorted(walls):
+        log(f"  {k:<42} {walls[k]:8.1f} s")
+    cool_gb = sum(
+        os.path.getsize(os.path.join(out_dir, "Cooler", f))
+        for f in os.listdir(os.path.join(out_dir, "Cooler"))) / 2**30
+    log(f"TRUE haplotype e2e: {total:.1f} s "
+        f"({total_rows/1e6:.1f}M pairs → {cool_gb:.2f} GB coolers)")
+    rec = {"total_s": round(total, 1), "pairs": total_rows,
+           "div": DIV, "coolers_gb": round(cool_gb, 2),
+           **{k: round(v, 1) for k, v in walls.items()}}
+    with open(os.path.join(_REPO, ".perf_e2e_hap.json"), "w") as f:
+        json.dump(rec, f)
+    log("written to .perf_e2e_hap.json")
+
+
+if __name__ == "__main__":
+    main()
