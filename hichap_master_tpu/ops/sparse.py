@@ -413,6 +413,63 @@ def genomewide_correction_blocks(ab: AsymBlocks, alpha: np.ndarray,
                        T=ab.T, R=ab.R)
 
 
+def genomewide_correction_coo(rows, cols, vals, alpha: np.ndarray, n: int,
+                              vc_alpha: float = 2.0 / 3.0
+                              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Genome-wide two-step correction straight on directed COO — the
+    closed form of ``sparse_genomewide_correction`` (and of
+    ``ops.correct.genomewide_correction``; HiCHap/matrixBuilding.py:
+    857-901) with O(nnz) memory and no tiles:
+
+        folded[i<=j] = v(i,j)/alpha[i] + v(j,i)/alpha[j]
+        f = rowsum(folded_sym) ** vc_alpha      (0 rows -> 1)
+        cor = folded / (f[i] * f[j]),  rescaled to the raw total
+
+    The tile layout is the right shape for the ITERATIVE genome-wide ICE
+    (repeated matvecs want MXU tiles), but this correction touches each
+    pixel a constant number of times — and the imputed diploid matrix at
+    10 kb carries tens of millions of *scattered* inter pixels, where
+    per-occupied-tile dense storage (128x128 f32 per pixel in the worst
+    case) approaches dense-scale memory.  Returns sorted upper-triangle
+    (rows, cols, vals).
+    """
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    vals = np.asarray(vals, np.float64)
+    a = np.ones(n, np.float64)
+    a[: min(len(alpha), n)] = np.asarray(alpha, np.float64)[:n]
+    scaled = vals / a[rows]
+
+    lo = np.minimum(rows, cols)
+    hi = np.maximum(rows, cols)
+    keys = lo * n + hi
+    from ..io.native import gw_accumulator
+
+    acc = gw_accumulator()
+    if acc is not None:
+        acc.add(keys, scaled)
+        k, fv = acc.export()
+    else:
+        order = np.argsort(keys, kind="stable")
+        sk, sv = keys[order], scaled[order]
+        starts = (np.r_[0, np.flatnonzero(np.diff(sk)) + 1]
+                  if sk.size else np.zeros(0, np.intp))
+        k = sk[starts]
+        fv = np.add.reduceat(sv, starts) if sk.size else sv
+    r_u, c_u = k // n, k % n
+
+    off = r_u != c_u
+    s1 = np.bincount(r_u, weights=fv, minlength=n)
+    s1 += np.bincount(c_u[off], weights=fv[off], minlength=n)
+    f = np.where(s1 == 0, 1.0, s1 ** vc_alpha)
+    cor = fv / (f[r_u] * f[c_u])
+
+    raw_total = float(vals.sum())
+    cor_total = float(cor.sum() + cor[off].sum())
+    rf = raw_total / max(cor_total, np.finfo(np.float64).tiny)
+    return r_u, c_u, rf * cor
+
+
 def blocks_to_coo(bm: BlockMatrix) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Upper-triangle COO (rows, cols, vals) of a symmetric BlockMatrix —
     the cooler-persistence exit path (pixels stream straight to HDF5)."""

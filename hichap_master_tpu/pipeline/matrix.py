@@ -1257,11 +1257,14 @@ def correct_haplotype_datasets(data, genome: Genome,
                 alphas.append(np.asarray(a)[:n])
             alpha_full = np.concatenate(alphas)
             alpha_full = np.concatenate([alpha_full, alpha_full])
-            from ..ops.sparse import (asym_blocks_from_coo,
-                                      genomewide_correction_blocks)
+            # closed-form COO correction: the tile layout would allocate a
+            # dense 128x128 block per occupied coordinate, and the imputed
+            # diploid matrix's scattered inter pixels make that approach
+            # dense-scale memory (measured ~37 GB at 26.6M pairs / 10 kb)
+            from ..ops.sparse import genomewide_correction_coo
 
-            ab = asym_blocks_from_coo(*H.coo(), n=H.S)
-            balanced_whole[res] = genomewide_correction_blocks(ab, alpha_full)
+            balanced_whole[res] = genomewide_correction_coo(
+                *H.coo(), alpha=alpha_full, n=H.S)
             continue
         for c in genome.labels:
             s, e = t_offs[c]
@@ -1332,6 +1335,8 @@ def _write_hap_coolers(cooler_dir, prefix, genome, hap, data, balanced_whole,
             return {"genomewide_coo": M.coo(), "dtype": dtype}
         if isinstance(M, BlockMatrix):
             return {"genomewide_coo": blocks_to_coo(M), "dtype": dtype}
+        if isinstance(M, tuple):  # corrected upper-triangle COO
+            return {"genomewide_coo": M, "dtype": dtype}
         return {"genomewide": M, "dtype": dtype}
 
     for res in whole_res:

@@ -134,6 +134,42 @@ def test_sparse_genomewide_correction_matches_dense(rng):
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
 
 
+def test_correction_coo_matches_blocks_and_dense(rng):
+    """The closed-form COO correction == the tile form == the dense op,
+    including scattered inter pixels (the case whose tile storage blows
+    up) and the empty-row f=1 rule."""
+    from hichap_master_tpu.ops.sparse import genomewide_correction_coo
+
+    n = 330
+    H = rng.poisson(1.5, (n, n)).astype(np.float64)
+    i = np.arange(n)
+    d = np.abs(np.subtract.outer(i, i))
+    # band-heavy + genuinely scattered far pixels + some all-zero rows
+    H = H * (d < 40) + (rng.random((n, n)) < 0.01) * rng.poisson(3.0, (n, n))
+    H[17, :] = 0
+    H[:, 17] = 0
+    alpha = rng.uniform(0.3, 1.0, n)
+
+    r, c = np.nonzero(H)
+    cr, cc, cv = genomewide_correction_coo(r, c, H[r, c], alpha, n)
+    got = np.zeros((n, n))
+    got[cr, cc] = cv
+    got = np.triu(got) + np.triu(got, 1).T
+
+    ab = asym_blocks_from_coo(r, c, H[r, c], n, T=128, dtype=np.float64)
+    tiles = blocks_to_dense(genomewide_correction_blocks(ab, alpha))
+    np.testing.assert_allclose(got, tiles, rtol=1e-9, atol=1e-12)
+
+    P = ab.R * ab.T
+    Hp = np.zeros((P, P))
+    Hp[:n, :n] = H
+    ap = np.ones(P)
+    ap[:n] = alpha
+    want = np.asarray(genomewide_correction(
+        jnp.asarray(Hp), jnp.asarray(ap), jnp.asarray(n)))[:n, :n]
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
 def test_sparse_ice_empty_and_tiny():
     bm = blocks_from_coo(np.zeros(0), np.zeros(0), np.zeros(0), 64, T=64)
     w, st = ice_balance_blocks(bm, max_iters=5)
