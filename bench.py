@@ -221,6 +221,19 @@ def main():
                 ex["hg19_e2e_parse_only_s"] = rj.get("parse_only_s")
         except Exception:
             pass
+    # .perf_e2e_hap.json — TRUE diploid e2e: allelic beds → imputed +
+    # corrected haplotype coolers at 10 kb genome-wide (perf_e2e_hap.py)
+    rec = os.path.join(_REPO, ".perf_e2e_hap.json")
+    if os.path.exists(rec):
+        try:
+            with open(rec) as f:
+                rj = json.load(f)
+            if rj.get("div") == 1:
+                ex = out.setdefault("extras", {})
+                ex["hg19_hap_e2e_s"] = rj.get("total_s")
+                ex["hg19_hap_e2e_pairs"] = rj.get("pairs")
+        except Exception:
+            pass
     print(json.dumps(out))
 
 
