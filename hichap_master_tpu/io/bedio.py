@@ -171,9 +171,37 @@ def _allelic_chunk_rows() -> int:
 def iter_allelic_bed(paths: Sequence[str], genome: Genome, with_tag: bool,
                      chunk_rows: int | None = None):
     """Stream (c1, p1, c2, p2[, tag]) chunks from allelic-bed files with
-    bounded host memory (pandas C reader, ``chunksize`` rows)."""
+    bounded host memory.  Blocks parse through the native one-pass
+    scanner (``hicio_parse_allelic_chunk``) when the C library is
+    available — the pandas C reader was the dominant share of the
+    diploid ingestion passes — with pandas as fallback
+    (``HICHAP_NATIVE_BED=0`` forces it; the parity test runs both)."""
     idx = label_index(genome)
     rows = chunk_rows or _allelic_chunk_rows()
+    if os.environ.get("HICHAP_NATIVE_BED", "1") != "0":
+        from .native import get_lib, parse_allelic_chunk
+
+        if get_lib() is not None:  # decide BEFORE yielding any chunk
+            read_bytes = max(min(rows * 40, 1 << 26), 1 << 16)  # ~40 B/row
+            for path in paths:
+                if os.path.getsize(path) == 0:
+                    continue
+                with open(path, "rb") as fb:
+                    while True:
+                        buf = fb.read(read_bytes)
+                        if not buf:
+                            break
+                        tail = fb.readline()  # complete the last line
+                        if tail:
+                            buf += tail
+                        out = parse_allelic_chunk(buf, genome.labels,
+                                                  with_tag)
+                        # honor the chunk_rows contract exactly (tests
+                        # force single-digit rows to prove boundary
+                        # independence)
+                        for s in range(0, len(out[0]), rows):
+                            yield tuple(a[s:s + rows] for a in out)
+            return
     usecols = [0, 1, 2, 3, 4] if with_tag else [0, 1, 2, 3]
     names = ["c1", "p1", "c2", "p2", "tag"][: len(usecols)]
     dtype = {"c1": "category", "p1": np.int64, "c2": "category",

@@ -92,8 +92,60 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.hicio_gwacc_export_coo.restype = ctypes.c_int
     lib.hicio_gwacc_free.argtypes = [ctypes.c_void_p]
     lib.hicio_gwacc_free.restype = None
+    lib.hicio_parse_allelic_chunk.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.hicio_parse_allelic_chunk.restype = ctypes.c_long
+    lib.hicio_radix_sort_kv.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                        ctypes.c_int64]
+    lib.hicio_radix_sort_kv.restype = ctypes.c_int
     _lib = lib
     return _lib
+
+
+def parse_allelic_chunk(buf: bytes, labels: Sequence[str], with_tag: bool):
+    """Parse a complete-lines block of allelic-bed text → (c1, p1, c2,
+    p2[, tag]) via the native scanner; None when the library is missing
+    (caller falls back to pandas)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = buf.count(b"\n") + (0 if buf.endswith(b"\n") or not buf else 1)
+    c1 = np.empty(cap, np.int32)
+    p1 = np.empty(cap, np.int64)
+    c2 = np.empty(cap, np.int32)
+    p2 = np.empty(cap, np.int64)
+    tag = np.empty(cap, np.int8)
+    arr = (ctypes.c_char_p * len(labels))(*[l.encode() for l in labels])
+    n = lib.hicio_parse_allelic_chunk(
+        buf, len(buf), arr, len(labels), int(with_tag),
+        c1.ctypes.data_as(ctypes.c_void_p), p1.ctypes.data_as(ctypes.c_void_p),
+        c2.ctypes.data_as(ctypes.c_void_p), p2.ctypes.data_as(ctypes.c_void_p),
+        tag.ctypes.data_as(ctypes.c_void_p))
+    if n < 0:
+        return None
+    out = (c1[:n], p1[:n], c2[:n], p2[:n])
+    return out + (tag[:n],) if with_tag else out
+
+
+def radix_sort_kv(keys, vals) -> bool:
+    """In-place radix sort of parallel (int64 keys >= 0, float64 vals) by
+    key.  Returns False when the native library is unavailable (caller
+    falls back to numpy)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return False
+    assert keys.dtype == np.int64 and vals.dtype == np.float64
+    assert keys.flags["C_CONTIGUOUS"] and vals.flags["C_CONTIGUOUS"]
+    rc = lib.hicio_radix_sort_kv(
+        keys.ctypes.data_as(ctypes.c_void_p),
+        vals.ctypes.data_as(ctypes.c_void_p), keys.size)
+    return rc == 0
 
 
 class GwAccumulator:

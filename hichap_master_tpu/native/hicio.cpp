@@ -357,6 +357,82 @@ long hicio_parse_valid_chunk(const char* buf, long nbytes,
     return out;
 }
 
+// Parse a block of allelic-bed text (complete lines): tab-separated
+// columns 0-3 = chrom1, pos1, chrom2, pos2, optional column 4 = side tag
+// ("Both"/"R1"/"R2" → 0/1/2, anything else → -1) — the five-class
+// haplotype ingestion format (HiCHap/matrixBuilding.py:1081-1094).  Same
+// chromosome rule as the valid-bed scanner ("chr" prefix stripped,
+// verbatim label match, unknown dropped).  Returns kept rows.
+long hicio_parse_allelic_chunk(const char* buf, long nbytes,
+                               const char* const* labels, int n_labels,
+                               int with_tag,
+                               int32_t* c1, int64_t* p1,
+                               int32_t* c2, int64_t* p2, int8_t* tag) {
+    std::vector<size_t> llen(n_labels);
+    for (int i = 0; i < n_labels; ++i) llen[i] = std::strlen(labels[i]);
+    auto lookup = [&](const char* b, const char* e) -> int {
+        if (e - b >= 3 && b[0] == 'c' && b[1] == 'h' && b[2] == 'r') b += 3;
+        const size_t n = static_cast<size_t>(e - b);
+        for (int i = 0; i < n_labels; ++i)
+            if (llen[i] == n && std::memcmp(labels[i], b, n) == 0) return i;
+        return -1;
+    };
+    auto num = [](const char* b, const char* e, int64_t* out) -> bool {
+        if (b == e) return false;
+        const bool neg = (*b == '-');
+        if (neg && ++b == e) return false;
+        int64_t v = 0;
+        for (; b < e; ++b) {
+            if (*b < '0' || *b > '9') return false;
+            v = v * 10 + (*b - '0');
+        }
+        *out = neg ? -v : v;
+        return true;
+    };
+    const int want = with_tag ? 5 : 4;
+    long out = 0;
+    const char* p = buf;
+    const char* const end = buf + nbytes;
+    while (p < end) {
+        const char* nl =
+            static_cast<const char*>(std::memchr(p, '\n', end - p));
+        const char* eol = nl ? nl : end;
+        const char* fb[5];
+        const char* fe[5];
+        int col = 0;
+        const char* fs = p;
+        for (const char* q = p; q <= eol && col < want; ++q) {
+            if (q == eol || *q == '\t') {
+                fb[col] = fs;
+                fe[col] = q;
+                ++col;
+                fs = q + 1;
+            }
+        }
+        p = nl ? nl + 1 : end;
+        if (col < want) continue;  // short row
+        const int a = lookup(fb[0], fe[0]);
+        const int b = lookup(fb[2], fe[2]);
+        if (a < 0 || b < 0) continue;
+        int64_t v1, v2;
+        if (!num(fb[1], fe[1], &v1) || !num(fb[3], fe[3], &v2)) continue;
+        if (with_tag) {
+            const size_t tl = static_cast<size_t>(fe[4] - fb[4]);
+            int8_t t = -1;
+            if (tl == 4 && std::memcmp(fb[4], "Both", 4) == 0) t = 0;
+            else if (tl == 2 && fb[4][0] == 'R' && fb[4][1] == '1') t = 1;
+            else if (tl == 2 && fb[4][0] == 'R' && fb[4][1] == '2') t = 2;
+            tag[out] = t;
+        }
+        c1[out] = a;
+        p1[out] = v1;
+        c2[out] = b;
+        p2[out] = v2;
+        ++out;
+    }
+    return out;
+}
+
 int hicio_merge_sorted(const char** paths, int n, const char* out_path,
                        int mode) {
     std::vector<std::ifstream> streams;
@@ -600,6 +676,25 @@ int hicio_gwacc_export_coo(void* h, int64_t S, int64_t* rows_out,
 
 void hicio_gwacc_free(void* h) {
     delete static_cast<GwAcc*>(h);
+}
+
+// In-place radix sort of parallel (key, value) arrays by NON-NEGATIVE
+// int64 key — the SparseU build sorts ~2x nnz symmetric pixels and
+// numpy's lexsort was a measured multi-ten-second wall there.
+int hicio_radix_sort_kv(int64_t* keys, double* vals, int64_t n) {
+    try {
+        std::vector<std::pair<int64_t, double>> a(
+            static_cast<size_t>(n < 0 ? 0 : n));
+        for (int64_t i = 0; i < n; ++i) a[i] = {keys[i], vals[i]};
+        radix_sort_pairs(a);
+        for (int64_t i = 0; i < n; ++i) {
+            keys[i] = a[i].first;
+            vals[i] = a[i].second;
+        }
+    } catch (...) {
+        return 1;
+    }
+    return 0;
 }
 
 }  // extern "C"

@@ -79,6 +79,42 @@ def test_native_parser_matches_pandas(tmp_path, genome, monkeypatch):
         np.testing.assert_array_equal(a, b)
 
 
+def test_native_allelic_parser_matches_pandas(tmp_path, genome, monkeypatch):
+    """The C allelic scanner (hicio_parse_allelic_chunk) and the pandas
+    path must agree exactly: chr-prefix stripping, unknown-chrom drops,
+    Both/R1/R2/garbage tag codes, both with_tag flavors, tiny chunk_rows
+    (chunk boundaries mid-stream)."""
+    from hichap_master_tpu.io.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native hicio unavailable")
+    rng = np.random.default_rng(5)
+    p = tmp_path / "alle.bed"
+    names = ["1", "chr1", "2", "chr2", "chrUn", "7"]
+    tags = ["Both", "R1", "R2", "XX"]
+    lines = ["%s\t%d\t%s\t%d\t%s" % (
+        names[rng.integers(0, len(names))], rng.integers(0, 1_000_000),
+        names[rng.integers(0, len(names))], rng.integers(0, 1_000_000),
+        tags[rng.integers(0, len(tags))]) for _ in range(700)]
+    p.write_text("\n".join(lines) + "\n")
+
+    for with_tag in (True, False):
+        w = 5 if with_tag else 4
+
+        def collect():
+            parts = list(iter_allelic_bed([str(p)], genome, with_tag,
+                                          chunk_rows=37))
+            return [np.concatenate([pt[i] for pt in parts])
+                    for i in range(w)]
+
+        monkeypatch.setenv("HICHAP_NATIVE_BED", "1")
+        native = collect()
+        monkeypatch.setenv("HICHAP_NATIVE_BED", "0")
+        pandas_ = collect()
+        for a, b in zip(native, pandas_):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_allelic_tags_and_stream(tmp_path, genome):
     p = tmp_path / "a.bed"
     p.write_text("1\t100\t2\t200\tBoth\n"
