@@ -40,14 +40,14 @@ def disk_offsets(L: int) -> Tuple[np.ndarray, np.ndarray]:
     (matrixBuilding.py:724), i.e. one below/right of the true center; offsets
     here are window indices minus L so they apply directly to the target bin.
     """
-    di, dj = [], []
-    r = math.sqrt(L)
-    for i in range(2 * L + 1):
-        for j in range(2 * L + 1):
-            if math.sqrt((i - (L + 1)) ** 2 + (j - (L + 1)) ** 2) < r:
-                di.append(i - L)
-                dj.append(j - L)
-    return np.asarray(di, np.int32), np.asarray(dj, np.int32)
+    # vectorized scan of the (2L+1)^2 window (the Python double loop was
+    # ~25 s at L=1000, i.e. 10 Mb regions at 10 kb); row-major order kept
+    # identical to the original loop
+    i = np.arange(2 * L + 1, dtype=np.int64)
+    d2 = (i - (L + 1)) ** 2
+    mask = (d2[:, None] + d2[None, :]) < L  # sqrt(x)<sqrt(L) <=> x<L, ints
+    di, dj = np.nonzero(mask)
+    return (di - L).astype(np.int32), (dj - L).astype(np.int32)
 
 
 def _disk_sum(U, rows, cols, di, dj):

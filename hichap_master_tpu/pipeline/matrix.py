@@ -1027,27 +1027,29 @@ def build_haplotype_datasets(
                                           s_c2[intra], s_p2[intra],
                                           tags=s_tag[intra])
 
-    unimp_whole = {res: uwhole[res].finish() for res in whole_res}
-    side_local = {res: {p: ulocal[res][p].finish() for p in ("M", "P")}
-                  for res in local_res}
-    unimp_local = {
-        res: {p + c: m for p in ("M", "P")
-              for c, m in side_local[res][p].items()}
-        for res in local_res
-    }
-    imp_local = {}
-    for res in local_res:
-        lib = {}
-        for p in ("M", "P"):
-            delta = slocal[res][p].finish()
-            for c, m in side_local[res][p].items():
-                lib[p + c] = m + delta[c]
-        imp_local[res] = lib
+    with stage("matrix.hap.locals_finish"):
+        unimp_whole = {res: uwhole[res].finish() for res in whole_res}
+        side_local = {res: {p: ulocal[res][p].finish() for p in ("M", "P")}
+                      for res in local_res}
+        unimp_local = {
+            res: {p + c: m for p in ("M", "P")
+                  for c, m in side_local[res][p].items()}
+            for res in local_res
+        }
+        imp_local = {}
+        for res in local_res:
+            lib = {}
+            for p in ("M", "P"):
+                delta = slocal[res][p].finish()
+                for c, m in side_local[res][p].items():
+                    lib[p + c] = m + delta[c]
+            imp_local[res] = lib
 
     # ---- pass 3: inter-chromosome disk vote against the completed U ------
     state: Dict[int, dict] = {}
     any_vote = False
-    for res in whole_res:
+    with stage("matrix.hap.vote_setup"):
+      for res in whole_res:
         U = unimp_whole[res]
         L = imputation_region // res
         st: dict = {"sparse": isinstance(U, SparseGW)}
