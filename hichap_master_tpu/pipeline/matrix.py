@@ -618,6 +618,7 @@ class _IntraAcc:
                     self._width[li] = N
             self._acc = gw_accumulator()
             self._flat: np.ndarray | None = None
+            self._flat_done: np.ndarray | None = None
             self._pend: List[np.ndarray] = []
             self._pend_n = 0
             return
@@ -667,6 +668,7 @@ class _IntraAcc:
     def add(self, c1, p1, c2, p2, tags=None) -> None:
         intra = c1 == c2
         if self.host_mode:
+            self._flat_done = None
             a = (np.asarray(p1)[intra] // self.res).astype(np.int64)
             b = (np.asarray(p2)[intra] // self.res).astype(np.int64)
             ci = np.asarray(c1)[intra]
@@ -695,24 +697,36 @@ class _IntraAcc:
                 cols.append(tags[sel])
             self.bufs[gi].add(*cols)
 
-    def finish(self) -> Dict[str, np.ndarray]:
+    def _finish_flat(self) -> np.ndarray:
+        """The concatenated group-cell array (host mode only; memoized —
+        finish() and finish_plus() may both need it)."""
+        if self._flat_done is not None:
+            return self._flat_done
+        if self._acc is not None:
+            keys, cnts = self._acc.export()
+            flat = np.zeros(int(self._cell_off[-1]), np.float32)
+            flat[keys] = cnts  # keys unique: assignment fill
+        else:
+            self._host_flush()
+            flat = (self._flat if self._flat is not None
+                    else np.zeros(int(self._cell_off[-1]), np.float32))
+        self._flat_done = flat
+        return flat
+
+    def _views(self, flat: np.ndarray) -> Dict[str, np.ndarray]:
         out: Dict[str, np.ndarray] = {}
+        for gi, (group, N) in enumerate(self.groups):
+            blk = flat[self._cell_off[gi]:self._cell_off[gi + 1]]
+            host = blk.reshape(len(group), N, N)
+            for k, c in enumerate(group):
+                n = self.nb[c]
+                out[c] = host[k, :n, :n]
+        return out
+
+    def finish(self) -> Dict[str, np.ndarray]:
         if self.host_mode:
-            if self._acc is not None:
-                keys, cnts = self._acc.export()
-                flat = np.zeros(int(self._cell_off[-1]), np.float32)
-                flat[keys] = cnts  # keys unique: assignment fill
-            else:
-                self._host_flush()
-                flat = (self._flat if self._flat is not None
-                        else np.zeros(int(self._cell_off[-1]), np.float32))
-            for gi, (group, N) in enumerate(self.groups):
-                blk = flat[self._cell_off[gi]:self._cell_off[gi + 1]]
-                host = blk.reshape(len(group), N, N)
-                for k, c in enumerate(group):
-                    n = self.nb[c]
-                    out[c] = host[k, :n, :n]
-            return out
+            return self._views(self._finish_flat())
+        out: Dict[str, np.ndarray] = {}
         for gi, (group, _N) in enumerate(self.groups):
             self.bufs[gi].close()
             host = np.asarray(self.dev[gi])
@@ -720,6 +734,15 @@ class _IntraAcc:
                 n = self.nb[c]
                 out[c] = host[k, :n, :n]
         return out
+
+    def finish_plus(self, other: "_IntraAcc") -> Dict[str, np.ndarray]:
+        """Per-chromosome views of (self + other) — one contiguous flat
+        add when both are host-mode (the per-chromosome ``m + delta``
+        adds walked ~2x 194M strided elements per haplotype side)."""
+        if self.host_mode and other.host_mode:
+            return self._views(self._finish_flat() + other._finish_flat())
+        a, b = self.finish(), other.finish()
+        return {c: a[c] + b[c] for c in a}
 
 
 def build_traditional_stream(files: Sequence[str], genome: Genome,
@@ -1040,9 +1063,9 @@ def build_haplotype_datasets(
         for res in local_res:
             lib = {}
             for p in ("M", "P"):
-                delta = slocal[res][p].finish()
-                for c, m in side_local[res][p].items():
-                    lib[p + c] = m + delta[c]
+                both = ulocal[res][p].finish_plus(slocal[res][p])
+                for c, m in both.items():
+                    lib[p + c] = m
             imp_local[res] = lib
 
     # ---- pass 3: inter-chromosome disk vote against the completed U ------
