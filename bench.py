@@ -219,6 +219,8 @@ def main():
                 ex["hg19_e2e_s"] = rj.get("total_s")
                 ex["hg19_e2e_pairs"] = rj.get("pairs")
                 ex["hg19_e2e_parse_only_s"] = rj.get("parse_only_s")
+                if rj.get("backend"):
+                    ex["hg19_e2e_backend"] = rj.get("backend")
         except Exception:
             pass
     # .perf_e2e_hap.json — TRUE diploid e2e: allelic beds → imputed +

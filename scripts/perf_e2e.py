@@ -181,6 +181,7 @@ def main():
     RESULTS["total_s"] = round(total, 1)
     RESULTS["pairs"] = PAIRS
     RESULTS["scale_divisor"] = _S
+    RESULTS["backend"] = jax.default_backend()
     RESULTS["ingestion_share_of_matrix"] = round(
         RESULTS["parse_only_s"] / max(RESULTS["matrix_s"], 1e-9), 3)
     print(f"\nTRUE E2E (beds → coolers → calls) at hg19"

@@ -129,6 +129,27 @@ def test_intra_acc_host_matches_device(backend, monkeypatch):
                                           err_msg=f"{c} single={single}")
 
 
+def test_export_memoization_invalidates_on_add(backend):
+    """coo()/export() results are cached between adds (consumers call
+    them repeatedly) and MUST reflect adds that come after an export."""
+    acc = SparseGW(S)
+    acc.add(np.array([3]), np.array([5]))
+    r, c, v = acc.coo()
+    assert (r.tolist(), c.tolist(), v.tolist()) == ([3], [5], [1.0])
+    r2 = acc.coo()[0]
+    assert r2.tolist() == [3]  # cached or recomputed — same content
+    acc.add(np.array([1]), np.array([2]))
+    r, c, v = acc.coo()
+    assert r.tolist() == [1, 3] and c.tolist() == [2, 5]
+    d = SparseDirectedGW(S)
+    d.add_directed(np.array([9]), np.array([4]))
+    assert d.sum() == 1.0
+    _ = d.coo()
+    d.add_symmetric(np.array([0]), np.array([1]), np.array([2.0]))
+    r, c, v = d.coo()
+    assert r.tolist() == [0, 1, 9] and v.tolist() == [2.0, 2.0, 1.0]
+
+
 def test_compact_every_invariance():
     """The same stream compacted at different cadences is identical."""
     rng = np.random.default_rng(17)
