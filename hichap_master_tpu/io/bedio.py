@@ -121,6 +121,21 @@ def read_allelic_bed(paths: Sequence[str], genome: Genome, with_tag: bool):
     return tuple(np.concatenate(c) for c in cols[:width])
 
 
+def _iter_line_blocks(path: str, read_bytes: int):
+    """Complete-line byte blocks of ``path``: read ``read_bytes`` then
+    extend to the next newline, so native scanners never see a torn row
+    (shared framing for the valid and allelic readers)."""
+    with open(path, "rb") as fb:
+        while True:
+            buf = fb.read(read_bytes)
+            if not buf:
+                break
+            tail = fb.readline()
+            if tail:
+                buf += tail
+            yield buf
+
+
 def iter_valid_bed(paths: Sequence[str], genome: Genome,
                    read_bytes: int = 1 << 25):
     """Stream (c1, p1, c2, p2) column chunks from valid-bed files without
@@ -140,15 +155,8 @@ def iter_valid_bed(paths: Sequence[str], genome: Genome,
             from .native import get_lib, parse_valid_chunk
 
             if get_lib() is not None:  # decide BEFORE yielding any chunk
-                with open(path, "rb") as fb:
-                    while True:
-                        buf = fb.read(read_bytes)
-                        if not buf:
-                            break
-                        tail = fb.readline()  # complete the last line
-                        if tail:
-                            buf += tail
-                        yield parse_valid_chunk(buf, genome.labels)
+                for buf in _iter_line_blocks(path, read_bytes):
+                    yield parse_valid_chunk(buf, genome.labels)
                 continue
         with open(path) as f:
             while True:
@@ -186,21 +194,12 @@ def iter_allelic_bed(paths: Sequence[str], genome: Genome, with_tag: bool,
             for path in paths:
                 if os.path.getsize(path) == 0:
                     continue
-                with open(path, "rb") as fb:
-                    while True:
-                        buf = fb.read(read_bytes)
-                        if not buf:
-                            break
-                        tail = fb.readline()  # complete the last line
-                        if tail:
-                            buf += tail
-                        out = parse_allelic_chunk(buf, genome.labels,
-                                                  with_tag)
-                        # honor the chunk_rows contract exactly (tests
-                        # force single-digit rows to prove boundary
-                        # independence)
-                        for s in range(0, len(out[0]), rows):
-                            yield tuple(a[s:s + rows] for a in out)
+                for buf in _iter_line_blocks(path, read_bytes):
+                    out = parse_allelic_chunk(buf, genome.labels, with_tag)
+                    # honor the chunk_rows contract exactly (tests force
+                    # single-digit rows to prove boundary independence)
+                    for s in range(0, len(out[0]), rows):
+                        yield tuple(a[s:s + rows] for a in out)
             return
     usecols = [0, 1, 2, 3, 4] if with_tag else [0, 1, 2, 3]
     names = ["c1", "p1", "c2", "p2", "tag"][: len(usecols)]

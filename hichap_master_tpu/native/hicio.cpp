@@ -324,6 +324,7 @@ long hicio_parse_valid_chunk(const char* buf, long nbytes,
         const char* nl =
             static_cast<const char*>(std::memchr(p, '\n', end - p));
         const char* eol = nl ? nl : end;
+        if (eol > p && eol[-1] == '\r') --eol;  // CRLF beds
         const char* fb[4] = {nullptr, nullptr, nullptr, nullptr};
         const char* fe[4] = {nullptr, nullptr, nullptr, nullptr};
         int col = 0;
@@ -397,6 +398,7 @@ long hicio_parse_allelic_chunk(const char* buf, long nbytes,
         const char* nl =
             static_cast<const char*>(std::memchr(p, '\n', end - p));
         const char* eol = nl ? nl : end;
+        if (eol > p && eol[-1] == '\r') --eol;  // CRLF beds
         const char* fb[5];
         const char* fe[5];
         int col = 0;
@@ -507,20 +509,24 @@ struct GwAcc {
     }
 
     bool grow() {
-        std::vector<int64_t> ok;
-        std::vector<double> oc;
-        ok.swap(key);
-        oc.swap(cnt);
+        // allocate the bigger table FIRST: if this throws, the current
+        // table is untouched and the accumulator stays fully usable
+        // (the hicio_gwacc_add contract on allocation failure)
         const uint64_t ocap = mask + 1;
-        if (!init(ocap * 2)) return false;
+        const uint64_t ncap = ocap * 2;
+        std::vector<int64_t> nk(ncap, -1);
+        std::vector<double> nc(ncap, 0.0);
+        const uint64_t nmask = ncap - 1;
         for (uint64_t i = 0; i < ocap; ++i) {
-            if (ok[i] < 0) continue;
-            uint64_t j = mix(static_cast<uint64_t>(ok[i])) & mask;
-            while (key[j] >= 0) j = (j + 1) & mask;
-            key[j] = ok[i];
-            cnt[j] = oc[i];
-            ++used;
+            if (key[i] < 0) continue;
+            uint64_t j = mix(static_cast<uint64_t>(key[i])) & nmask;
+            while (nk[j] >= 0) j = (j + 1) & nmask;
+            nk[j] = key[i];
+            nc[j] = cnt[i];
         }
+        key.swap(nk);
+        cnt.swap(nc);
+        mask = nmask;
         return true;
     }
 

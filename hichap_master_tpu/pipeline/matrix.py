@@ -647,6 +647,11 @@ class _IntraAcc:
         return emit
 
     # ------------------------------------------------------- host backend
+    # Deliberately NOT the same policy as _GWAcc's host mode: that one
+    # serves small DENSE genome-wide targets where plain bincount into
+    # the eager [S*S] array beats hashing every occurrence (measured r2
+    # policy); group-cell space here is large and sparse-ish, so the
+    # native hash wins and bincount is only the no-compiler fallback.
     def _push(self, keys: np.ndarray) -> None:
         if self._acc is not None:
             self._acc.add(keys)
@@ -1170,42 +1175,40 @@ def build_haplotype_datasets(
     }
 
 
-def _sym_block_margins(T, s: int, e: int):
+def _sym_block_margins(T, s: int, e: int, bounds: np.ndarray | None = None):
     """(rowsum, row-nnz) of the intra block [s..e]x[s..e] of a symmetric
-    genome-wide matrix stored dense (np [S, S]) or as ``SparseGW``."""
+    genome-wide matrix stored dense (np [S, S]) or as ``SparseGW``.
+    ``bounds`` (inclusive per-chromosome end bins) is required for the
+    sparse form — it defines the intra blocks of the one-pass margins."""
     if isinstance(T, SparseGW):
-        rs, nz = _gw_intra_margins_sym(T)
+        rs, nz = _gw_intra_margins_sym(T, bounds)
         return rs[s : e + 1], nz[s : e + 1]
     block = T[s : e + 1, s : e + 1]
     return block.sum(axis=1), (block != 0).sum(axis=1)
 
 
-def _dir_block_rowsum(H, s: int, e: int):
+def _dir_block_rowsum(H, s: int, e: int, bounds: np.ndarray | None = None):
     """Literal row sums of the intra block of a (possibly asymmetric)
     genome-wide matrix stored dense or as ``SparseDirectedGW``."""
     if isinstance(H, SparseDirectedGW):
-        return _gw_intra_margins_dir(H)[s : e + 1]
+        return _gw_intra_margins_dir(H, bounds)[s : e + 1]
     return H[s : e + 1, s : e + 1].sum(axis=1)
 
 
-def _chrom_bounds_of(acc) -> np.ndarray:
-    """Per-accumulator memo of the block boundaries used by the one-pass
-    intra-margin computations (set by ``correct_haplotype_datasets``)."""
-    return acc._intra_bounds  # set immediately before the margin calls
-
-
-def _gw_intra_margins_sym(T: SparseGW):
+def _gw_intra_margins_sym(T: SparseGW, bounds: np.ndarray):
     """Per-bin (rowsum, nnz) over INTRA blocks only of a symmetric
     upper-triangle sparse genome-wide matrix, in one bincount pass
-    (memoized on the accumulator — the per-chromosome masked scans this
-    replaces re-walked the full pixel table ~70 times per correction)."""
-    cached = getattr(T, "_intra_margins", None)
-    if cached is not None:
-        return cached
+    (memoized on the accumulator keyed by ``bounds`` — the
+    per-chromosome masked scans this replaces re-walked the full pixel
+    table ~70 times per correction)."""
+    if bounds is None:
+        raise ValueError("sparse intra margins need the chromosome bounds")
+    cached = T._intra_margins
+    if cached is not None and np.array_equal(cached[0], bounds):
+        return cached[1]
     r, c, v = T.coo()
-    ends = _chrom_bounds_of(T)
-    ci_r = np.searchsorted(ends, r, side="left")
-    ci_c = np.searchsorted(ends, c, side="left")
+    ci_r = np.searchsorted(bounds, r, side="left")
+    ci_c = np.searchsorted(bounds, c, side="left")
     intra = ci_r == ci_c
     ri, ci_, vi = r[intra], c[intra], v[intra]
     rs = np.bincount(ri, weights=vi, minlength=T.S)
@@ -1215,22 +1218,23 @@ def _gw_intra_margins_sym(T: SparseGW):
     rs += np.bincount(ci_[off], weights=vi[off], minlength=T.S)
     nz += np.bincount(ci_[off], weights=(vi[off] != 0).astype(np.float64),
                       minlength=T.S)
-    T._intra_margins = (rs, nz)
+    T._intra_margins = (bounds, (rs, nz))
     return rs, nz
 
 
-def _gw_intra_margins_dir(H: SparseDirectedGW):
+def _gw_intra_margins_dir(H: SparseDirectedGW, bounds: np.ndarray):
     """Per-bin literal row sums over INTRA blocks of an asymmetric sparse
-    genome-wide matrix, one bincount pass (memoized)."""
-    cached = getattr(H, "_intra_margins", None)
-    if cached is not None:
-        return cached
+    genome-wide matrix, one bincount pass (memoized keyed by bounds)."""
+    if bounds is None:
+        raise ValueError("sparse intra margins need the chromosome bounds")
+    cached = H._intra_margins
+    if cached is not None and np.array_equal(cached[0], bounds):
+        return cached[1]
     r, c, v = H.coo()
-    ends = _chrom_bounds_of(H)
-    intra = (np.searchsorted(ends, r, side="left")
-             == np.searchsorted(ends, c, side="left"))
+    intra = (np.searchsorted(bounds, r, side="left")
+             == np.searchsorted(bounds, c, side="left"))
     rs = np.bincount(r[intra], weights=v[intra], minlength=H.S)
-    H._intra_margins = rs
+    H._intra_margins = (bounds, rs)
     return rs
 
 
@@ -1258,19 +1262,19 @@ def correct_haplotype_datasets(data, genome: Genome,
         h_offs = hap.bin_offsets(res)
         alphas = []
         if isinstance(H, SparseDirectedGW):
-            T._intra_bounds = np.asarray(
+            t_bounds = np.asarray(
                 [t_offs[c][1] for c in genome.labels], np.int64)
-            H._intra_bounds = np.asarray(
+            h_bounds = np.asarray(
                 [h_offs[c][1] for c in hap.labels], np.int64)
             for c in genome.labels:
                 s, e = t_offs[c]
                 n = e - s + 1
                 N = pad_to_bucket(n)
-                trs, tnz = _sym_block_margins(T, s, e)
+                trs, tnz = _sym_block_margins(T, s, e, bounds=t_bounds)
                 ms, me = h_offs["M" + c]
                 ps, pe = h_offs["P" + c]
-                mrs = _dir_block_rowsum(H, ms, me)
-                prs = _dir_block_rowsum(H, ps, pe)
+                mrs = _dir_block_rowsum(H, ms, me, bounds=h_bounds)
+                prs = _dir_block_rowsum(H, ps, pe, bounds=h_bounds)
 
                 def _pad(v):
                     z = np.zeros(N, np.float32)

@@ -115,6 +115,37 @@ def test_native_allelic_parser_matches_pandas(tmp_path, genome, monkeypatch):
             np.testing.assert_array_equal(a, b)
 
 
+def test_native_scanners_handle_crlf(tmp_path, genome, monkeypatch):
+    """CRLF beds (Windows-edited inputs) must parse identically through
+    the native scanners and pandas — a round-3 review caught the native
+    allelic path dropping every row (trailing \\r broke the numeric
+    field) and miscoding every tag to -1."""
+    from hichap_master_tpu.io.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native hicio unavailable")
+    a = tmp_path / "crlf_allelic.bed"
+    a.write_bytes(b"1\t100\t2\t200\tBoth\r\n2\t300\t1\t400\tR1\r\n")
+    v = tmp_path / "crlf_valid.bed"
+    row = "\t".join(["r1", "1", "+", "100", "60", "100", "100", "f1",
+                     "2", "-", "200", "60", "100", "200", "f2"])
+    v.write_bytes((row + "\r\n" + row + "\r\n").encode())
+
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("HICHAP_NATIVE_BED", env)
+        parts = list(iter_allelic_bed([str(a)], genome, True))
+        outs[env] = [np.concatenate([pt[i] for pt in parts])
+                     for i in range(5)]
+        vparts = list(iter_valid_bed([str(v)], genome))
+        outs[env] += [np.concatenate([pt[i] for pt in vparts])
+                      for i in range(4)]
+    assert outs["1"][4].tolist() == [0, 1]  # Both, R1 — not -1
+    assert len(outs["1"][5]) == 2  # valid rows kept
+    for x, y in zip(outs["1"], outs["0"]):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_allelic_tags_and_stream(tmp_path, genome):
     p = tmp_path / "a.bed"
     p.write_text("1\t100\t2\t200\tBoth\n"

@@ -177,3 +177,48 @@ def test_haplotype_sparse_matches_dense(tmp_path, rng, genome, monkeypatch):
     np.testing.assert_allclose(dense[("weights", res_w)],
                                sparse[("weights", res_w)],
                                rtol=1e-4, equal_nan=True)
+
+
+def test_haplotype_mixed_dense_traditional_sparse_hap(tmp_path, rng, genome,
+                                                      monkeypatch):
+    """The MIXED regime: the base-genome bin count sits under the dense
+    cap but the (2x) haplotype bin count exceeds it — Tradition_Whole is
+    a dense ndarray while the haplotype matrices go sparse.  A round-3
+    review found correct_haplotype_datasets crashing here (it set the
+    bounds attribute on the ndarray); outputs must match the all-dense
+    run like the fully-sparse test does."""
+    from hichap_master_tpu.pipeline.matrix import haplotype_matrix_construction
+    from hichap_master_tpu.testing.synthetic import write_allelic_beds
+
+    res_w, res_l = 100_000, 100_000
+    genome.write(tmp_path / "genomeSize")
+    rep = tmp_path / "rep1"
+    write_allelic_beds(str(rep), "Cell_R1_", genome, rng, n=4000)
+    kw = dict(
+        rep_paths=[str(rep)], genome_size=str(tmp_path / "genomeSize"),
+        whole_res=[res_w], local_res=[res_l],
+        imputation_region=1_000_000, imputation_min=1, imputation_ratio=0.5)
+
+    haplotype_matrix_construction(str(tmp_path / "dense"), **kw)
+    dense = _hap_cooler_arrays(tmp_path / "dense", res_w, res_l)
+
+    nb = genome.total_bins(res_w)
+    hb = genome.haplotype().total_bins(res_w)
+    assert nb < hb
+    monkeypatch.setattr(matrix_mod, "DENSE_GW_MAX_BINS", nb)  # nb<=cap<hb
+    haplotype_matrix_construction(str(tmp_path / "mixed"), **kw)
+    mixed = _hap_cooler_arrays(tmp_path / "mixed", res_w, res_l)
+
+    for kind in ("Traditional_Multi", "UnImputated_Haplotype_Multi"):
+        for res in (res_w, res_l):
+            for a, b in zip(dense[(kind, res)], mixed[(kind, res)]):
+                np.testing.assert_array_equal(a, b)
+    for res in (res_w, res_l):
+        d = dense[("Imputated_Haplotype_Multi", res)]
+        s = mixed[("Imputated_Haplotype_Multi", res)]
+        np.testing.assert_array_equal(d[0], s[0])
+        np.testing.assert_array_equal(d[1], s[1])
+        np.testing.assert_allclose(d[2], s[2], rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(dense[("weights", res_w)],
+                               mixed[("weights", res_w)],
+                               rtol=1e-4, equal_nan=True)
