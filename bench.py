@@ -150,13 +150,47 @@ def sparse_genomewide_extras() -> dict:
     }
 
 
+class _Watchdog:
+    """SIGALRM guard: a WEDGED device tunnel (connect succeeds, compile
+    or execute never returns — observed when the relay dies mid-session)
+    would otherwise hang the bench forever; a dead one already raises.
+    Best-effort — only the main thread, only where the GIL is released
+    periodically — but it converts the common hang into a recorded
+    error + the regular extras."""
+
+    def __init__(self, seconds: int):
+        self.seconds = seconds
+
+    def __enter__(self):
+        import signal
+
+        def fire(signum, frame):
+            raise TimeoutError(f"bench phase exceeded {self.seconds}s "
+                               "(wedged device tunnel?)")
+
+        try:
+            signal.signal(signal.SIGALRM, fire)
+            signal.alarm(self.seconds)
+        except ValueError:  # non-main thread: run unguarded
+            self.seconds = 0
+        return self
+
+    def __exit__(self, *exc):
+        if self.seconds:
+            import signal
+
+            signal.alarm(0)
+        return False
+
+
 def main():
     _enable_compile_cache()
     # PRIMARY metric: the honest genome-wide number — block-sparse ICE over
     # the full hg19 (303,641 bins at 10 kb, ~343 GB dense).  The dense chr1
     # proxy stays in extras for continuity with the r1/r2 bench JSONs.
     try:
-        sparse = sparse_genomewide_extras()
+        with _Watchdog(1800):
+            sparse = sparse_genomewide_extras()
     except Exception as e:
         sparse = {"error": repr(e)[:200]}
     if "error" not in sparse:
@@ -176,7 +210,8 @@ def main():
                "value": 0.0, "unit": "iters/s", "vs_baseline": 0.0,
                "baseline": "pinned", "extras": sparse}
     try:
-        tpu = tpu_iters_per_sec()
+        with _Watchdog(900):
+            tpu = tpu_iters_per_sec()
         if os.environ.get("BENCH_MEASURE_CPU") == "1":
             cpu = cpu_iters_per_sec()
             out["extras"]["chr1_dense_baseline"] = "measured"
