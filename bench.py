@@ -258,6 +258,17 @@ def main():
                     ex["hg19_e2e_backend"] = rj.get("backend")
         except Exception:
             pass
+    # .perf_filtering.json — filtering stage at scale (perf_filtering.py)
+    rec = os.path.join(_REPO, ".perf_filtering.json")
+    if os.path.exists(rec):
+        try:
+            with open(rec) as f:
+                rj = json.load(f)
+            ex = out.setdefault("extras", {})
+            ex["filtering_rec_per_s"] = rj.get("rec_per_s")
+            ex["filtering_records"] = rj.get("records")
+        except Exception:
+            pass
     # .perf_e2e_hap.json — TRUE diploid e2e: allelic beds → imputed +
     # corrected haplotype coolers at 10 kb genome-wide (perf_e2e_hap.py)
     rec = os.path.join(_REPO, ".perf_e2e_hap.json")

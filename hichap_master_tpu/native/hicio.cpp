@@ -65,8 +65,7 @@ static Key6 key6(const std::string& line) {
     return k;
 }
 
-static bool less_key6(const std::string& a, const std::string& b) {
-    Key6 ka = key6(a), kb = key6(b);
+static bool less_k6(const Key6& ka, const Key6& kb) {
     if (ka.c1 != kb.c1) return ka.c1 < kb.c1;
     if (ka.s1 != kb.s1) return ka.s1 < kb.s1;
     if (ka.p1 != kb.p1) return ka.p1 < kb.p1;
@@ -75,12 +74,31 @@ static bool less_key6(const std::string& a, const std::string& b) {
     return ka.p2 < kb.p2;
 }
 
+static bool less_key6(const std::string& a, const std::string& b) {
+    return less_k6(key6(a), key6(b));
+}
+
+// Decorate-sort-undecorate: key6() allocates two strings and parses four
+// ints; inside a comparator it runs ~2 n log n times (measured as the
+// wall of the 20M-record filtering sort).  Extract each key ONCE.
 static void sort_lines(std::vector<std::string>& lines, int mode) {
     if (mode == 0) {
         std::sort(lines.begin(), lines.end());
-    } else {
-        std::sort(lines.begin(), lines.end(), less_key6);
+        return;
     }
+    const size_t n = lines.size();
+    std::vector<std::pair<Key6, uint32_t>> keyed;
+    keyed.reserve(n);
+    for (size_t i = 0; i < n; ++i)
+        keyed.emplace_back(key6(lines[i]), static_cast<uint32_t>(i));
+    std::sort(keyed.begin(), keyed.end(),
+              [](const std::pair<Key6, uint32_t>& x,
+                 const std::pair<Key6, uint32_t>& y) {
+                  return less_k6(x.first, y.first);
+              });
+    std::vector<std::string> out(n);
+    for (size_t i = 0; i < n; ++i) out[i] = std::move(lines[keyed[i].second]);
+    lines.swap(out);
 }
 
 // spill threshold; HICIO_CHUNK_BYTES overrides (exercises the
@@ -88,6 +106,38 @@ static void sort_lines(std::vector<std::string>& lines, int mode) {
 static size_t chunk_bytes() {
     const char* e = std::getenv("HICIO_CHUNK_BYTES");
     return e ? std::strtoull(e, nullptr, 10) : (512ull << 20);
+}
+
+// k-way merge of hic_key-sorted streams with the key parsed ONCE per
+// line (the comparator form re-parsed both lines on every heap sift).
+static void merge_streams_k6(std::vector<std::ifstream>& streams,
+                             std::ofstream& out) {
+    struct KHead {
+        Key6 key;
+        std::string line;
+        size_t idx;
+    };
+    auto cmp = [](const KHead& a, const KHead& b) {
+        return less_k6(b.key, a.key);
+    };
+    std::priority_queue<KHead, std::vector<KHead>, decltype(cmp)> pq(cmp);
+    for (size_t i = 0; i < streams.size(); ++i) {
+        std::string l;
+        if (std::getline(streams[i], l)) {
+            Key6 k = key6(l);
+            pq.push({std::move(k), std::move(l), i});
+        }
+    }
+    while (!pq.empty()) {
+        KHead h = pq.top();
+        pq.pop();
+        out << h.line << '\n';
+        std::string l;
+        if (std::getline(streams[h.idx], l)) {
+            Key6 k = key6(l);
+            pq.push({std::move(k), std::move(l), h.idx});
+        }
+    }
 }
 
 }  // namespace
@@ -175,7 +225,7 @@ int hicio_sort_file(const char* in_path, const char* out_path, int mode) {
         }
     };
     if (mode == 0) merge(cmp_whole);
-    else merge(cmp_k6);
+    else merge_streams_k6(streams, out);
 
     for (auto& f : chunk_files) std::remove(f.c_str());
     return 0;
@@ -465,7 +515,7 @@ int hicio_merge_sorted(const char** paths, int n, const char* out_path,
         }
     };
     if (mode == 0) merge(cmp_whole);
-    else merge(cmp_k6);
+    else merge_streams_k6(streams, out);
     return 0;
 }
 
