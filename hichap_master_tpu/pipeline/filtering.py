@@ -41,16 +41,37 @@ def _classify_block(lines: List[str], prev_key, stats: Dict[str, int],
     """Vectorized dedup + SC/DE/UM/ED classification of one sorted block
     (filtering.py:273-354 semantics).  ``prev_key`` is the 6-field key of
     the previous block's last record (dedup across block boundaries);
-    returns this block's last key."""
-    keys = [ln.split("\t", 14) for ln in lines]  # ragged 15/23-col rows
-    c1 = np.array([k[1] for k in keys])
-    s1 = np.array([int(k[2]) for k in keys])
-    p1 = np.array([int(k[3]) for k in keys])
-    c2 = np.array([k[8] for k in keys])
-    s2 = np.array([int(k[9]) for k in keys])
-    p2 = np.array([int(k[10]) for k in keys])
-    f1 = np.array([int(k[6]) for k in keys])
-    f2 = np.array([int(k[13]) for k in keys])
+    returns this block's last key.
+
+    Columns parse through the pandas C reader (same ragged-width sniff as
+    the valid-bed fallback reader) — the per-line ``split`` + ``int``
+    loop this replaces was ~70% of the measured 20M-record stage wall."""
+    import io as _io
+
+    import pandas as pd
+
+    def _parse(width):
+        return pd.read_csv(
+            _io.StringIO("".join(lines)), sep="\t", header=None,
+            names=list(range(width)), usecols=[1, 2, 3, 6, 8, 9, 10, 13],
+            dtype={1: str, 2: np.int32, 3: np.int64, 6: np.int64,
+                   8: str, 9: np.int32, 10: np.int64, 13: np.int64},
+            engine="c")
+
+    width = max(15, lines[0].count("\t") + 1)
+    try:
+        df = _parse(width)
+    except pd.errors.ParserError:
+        width = max(15, max(ln.count("\t") for ln in lines) + 1)
+        df = _parse(width)
+    c1 = df[1].to_numpy()
+    s1 = df[2].to_numpy()
+    p1 = df[3].to_numpy()
+    c2 = df[8].to_numpy()
+    s2 = df[9].to_numpy()
+    p2 = df[10].to_numpy()
+    f1 = df[6].to_numpy()
+    f2 = df[13].to_numpy()
 
     n = len(lines)
     stats["Total"] += n
