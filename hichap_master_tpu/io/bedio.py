@@ -145,7 +145,13 @@ def iter_valid_bed(paths: Sequence[str], genome: Genome,
     (``hicio_parse_valid_chunk``) when the C library is available —
     measured ~10x the pandas C reader on the 1-core host, where parsing
     was the e2e ingestion share — with the pandas path as fallback
-    (``HICHAP_NATIVE_BED=0`` forces it; the parity test runs both)."""
+    (``HICHAP_NATIVE_BED=0`` forces it; the parity test runs both).
+
+    Malformed rows (short, non-numeric or >18-digit positions): the
+    native scanner DROPS them — robust continuation on a truncated
+    upstream write — while the pandas fallback raises on the int cast.
+    Well-formed inputs parse identically (pinned by the parity tests);
+    the divergence is only in failure handling."""
     idx = label_index(genome)
     use_native = os.environ.get("HICHAP_NATIVE_BED", "1") != "0"
     for path in paths:

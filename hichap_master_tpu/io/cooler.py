@@ -348,8 +348,14 @@ class CoolerReader:
             b2 = g["pixels/bin2_id"][lo:hi]
             v = g["pixels/count"][lo:hi]
         m = (b2 >= s1) & (b2 < e1)
+        v = v[m]
+        # corrected coolers store float64 counts; keep them (the loops
+        # selection quantiles read these values — a f32 round-trip shifted
+        # threshold-adjacent candidates).  Raw int32 counts are exact in
+        # f32 and stay on the narrow wire.
+        vt = np.float64 if np.issubdtype(v.dtype, np.floating) else np.float32
         return (b1[m] - s1).astype(np.int32), (b2[m] - s1).astype(np.int32), \
-            v[m].astype(np.float32)
+            v.astype(vt)
 
     def matrix_device(self, label: str, padded: int | None = None,
                       balance: bool = False):

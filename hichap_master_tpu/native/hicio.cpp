@@ -356,7 +356,7 @@ long hicio_parse_valid_chunk(const char* buf, long nbytes,
         return -1;
     };
     auto num = [](const char* b, const char* e, int64_t* out) -> bool {
-        if (b == e) return false;
+        if (b == e || e - b > 18) return false;  // >18 digits: overflow
         const bool neg = (*b == '-');
         if (neg && ++b == e) return false;
         int64_t v = 0;
@@ -429,7 +429,7 @@ long hicio_parse_allelic_chunk(const char* buf, long nbytes,
         return -1;
     };
     auto num = [](const char* b, const char* e, int64_t* out) -> bool {
-        if (b == e) return false;
+        if (b == e || e - b > 18) return false;  // >18 digits: overflow
         const bool neg = (*b == '-');
         if (neg && ++b == e) return false;
         int64_t v = 0;

@@ -63,6 +63,12 @@ class HybridGW:
         return int(self.sc_cols.size)
 
 
+# flat-occupancy grid cap: above this many (n/T)^2 tile cells the
+# [R*R] bincount/lut arrays exceed ~1 GB and counting switches to
+# np.unique (tests monkeypatch it low to pin both paths identical)
+_GRID_CELL_CAP = 1 << 27
+
+
 def hybrid_from_coo(rows, cols, vals, n: int, T: int = 128,
                     min_tile_occ: int = 256, ignore_diags: int = 1,
                     dtype=np.float32, assume_unique: bool = False) -> HybridGW:
@@ -102,17 +108,33 @@ def hybrid_from_coo(rows, cols, vals, n: int, T: int = 128,
         bid = (rows >> sh) * R + (cols >> sh)
     else:
         bid = (rows // T) * R + cols // T
-    occ = np.bincount(bid, minlength=R * R)
-    dense_sel = occ[bid] >= min_tile_occ
+    # tile occupancy: the flat [R*R] grid (one bincount, no sort) wins at
+    # 10 kb (R^2 ≈ 5.6M cells) but is O((n/T)^2) memory — at 1 kb it
+    # would be two ~4.7 GB arrays, so past the cap count via np.unique
+    # (O(nnz log nnz), still far cheaper than the tiles themselves there)
+    grid_ok = R * R <= _GRID_CELL_CAP
+    if grid_ok:
+        occ = np.bincount(bid, minlength=R * R)
+        dense_sel = occ[bid] >= min_tile_occ
+    else:
+        uniq_all, inv, counts = np.unique(bid, return_inverse=True,
+                                          return_counts=True)
+        dense_sel = counts[inv] >= min_tile_occ
 
     if assume_unique:
-        uniq = np.flatnonzero(occ >= max(min_tile_occ, 1))
-        K = uniq.size
-        lut = np.zeros(R * R, np.int64)
-        lut[uniq] = np.arange(K)
+        if grid_ok:
+            uniq = np.flatnonzero(occ >= max(min_tile_occ, 1))
+            K = uniq.size
+            lut = np.zeros(R * R, np.int64)
+            lut[uniq] = np.arange(K)
+            slot = lut[bid[dense_sel]]
+        else:
+            uniq = uniq_all[counts >= max(min_tile_occ, 1)]
+            K = uniq.size
+            slot = np.searchsorted(uniq, bid[dense_sel])
         tiles = np.zeros((max(K, 1), T, T), dtype)
         rs, cs = rows[dense_sel], cols[dense_sel]
-        tiles.reshape(-1)[lut[bid[dense_sel]] * (T * T)
+        tiles.reshape(-1)[slot * (T * T)
                           + (rs % T) * T + (cs % T)] = vals[dense_sel]
         brow = (uniq // R).astype(np.int32)
         bcol = (uniq % R).astype(np.int32)

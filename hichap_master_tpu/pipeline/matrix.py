@@ -93,7 +93,10 @@ def _merge_sorted_counts(keys, cnts, nk, nc):
     — measured 204 s of the 50M-pair e2e stream at 10 kb, vs sorting only
     the 16M-key pending block and merging in O(n))."""
     if keys.size == 0:
-        return nk, nc
+        # copies, NOT views: __add__ with an empty left side would
+        # otherwise alias the right accumulator's arrays, and a later
+        # in-place "+=" merge on the sum silently corrupts it
+        return nk.copy(), nc.copy()
     idx = np.searchsorted(keys, nk)
     inb = np.minimum(idx, keys.size - 1)
     match = keys[inb] == nk
@@ -922,13 +925,9 @@ def traditional_matrix_construction(
 
 
 def _copy_weights(src: str, dst: str, res_list: Sequence[int]) -> None:
-    import h5py
-
     for res in res_list:
-        rs = CoolerReader(src, res)
-        with h5py.File(src, "r") as f:
-            w = f[rs.grp]["bins/weight"][:]
-        CoolerReader(dst, res).set_weights(w)
+        CoolerReader(dst, res).set_weights(
+            CoolerReader(src, res).bins_weight())
 
 
 def _write_traditional_cooler(path, genome, whole, local):

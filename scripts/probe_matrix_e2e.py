@@ -49,7 +49,6 @@ def main():
               for res in whole_res}
     tlocal = {res: pm._IntraAcc(g, res) for res in local_res}
 
-    t_parse = t_gw = {r: 0.0 for r in whole_res}
     t_gw = {r: 0.0 for r in whole_res}
     t_local = {r: 0.0 for r in local_res}
     total = 0

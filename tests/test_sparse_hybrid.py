@@ -138,3 +138,26 @@ def test_hybrid_memory_stays_on_nnz_scale(rng):
     tile_bytes = h.bm.tiles.size * 4
     coo_bytes = h.sc_cols.size * 8
     assert tile_bytes + coo_bytes < 2_000_000, (tile_bytes, coo_bytes)
+
+
+def test_grid_and_unique_occupancy_paths_identical(monkeypatch):
+    """hybrid_from_coo counts tile occupancy on a flat [R*R] grid only
+    while that grid is small (at 1 kb it would be ~4.7 GB); the np.unique
+    path past the cap must build the identical hybrid."""
+    import hichap_master_tpu.ops.sparse_hybrid as sh
+
+    rng = np.random.default_rng(3)
+    n, nnz = 4000, 20000
+    r = rng.integers(0, n, nnz)
+    c = rng.integers(0, n, nnz)
+    k = np.unique(np.minimum(r, c) * n + np.maximum(r, c))
+    lo, hi = k // n, k % n
+    v = rng.integers(1, 100, k.size)
+
+    h1 = sh.hybrid_from_coo(lo, hi, v, n, assume_unique=True)
+    monkeypatch.setattr(sh, "_GRID_CELL_CAP", 1)
+    h2 = sh.hybrid_from_coo(lo, hi, v, n, assume_unique=True)
+    for a, b in [(h1.bm.tiles, h2.bm.tiles), (h1.bm.brow, h2.bm.brow),
+                 (h1.bm.bcol, h2.bm.bcol), (h1.sc_cols, h2.sc_cols),
+                 (h1.sc_vals, h2.sc_vals), (h1.bounds, h2.bounds)]:
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
