@@ -269,6 +269,17 @@ def main():
             ex["filtering_records"] = rj.get("records")
         except Exception:
             pass
+    # .perf_allelic.json — allelic assignment at scale (perf_allelic.py)
+    rec = os.path.join(_REPO, ".perf_allelic.json")
+    if os.path.exists(rec):
+        try:
+            with open(rec) as f:
+                rj = json.load(f)
+            ex = out.setdefault("extras", {})
+            ex["allelic_assign_s"] = rj.get("allelic_s")
+            ex["allelic_assign_pairs"] = rj.get("pairs")
+        except Exception:
+            pass
     # .perf_e2e_hap.json — TRUE diploid e2e: allelic beds → imputed +
     # corrected haplotype coolers at 10 kb genome-wide (perf_e2e_hap.py)
     rec = os.path.join(_REPO, ".perf_e2e_hap.json")
