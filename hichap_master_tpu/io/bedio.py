@@ -207,8 +207,11 @@ def iter_allelic_bed(paths: Sequence[str], genome: Genome, with_tag: bool,
                     for s in range(0, len(out[0]), rows):
                         yield tuple(a[s:s + rows] for a in out)
             return
-    usecols = [0, 1, 2, 3, 4] if with_tag else [0, 1, 2, 3]
-    names = ["c1", "p1", "c2", "p2", "tag"][: len(usecols)]
+    # with_tag: no usecols — pandas then pads tag-less (4-column) rows
+    # with NaN (→ tag -1 below) instead of raising; the native scanner
+    # applies the same optional-tag rule
+    usecols = None if with_tag else [0, 1, 2, 3]
+    names = ["c1", "p1", "c2", "p2", "tag"][: 5 if with_tag else 4]
     dtype = {"c1": "category", "p1": np.int64, "c2": "category",
              "p2": np.int64, "tag": "category"}
     for path in paths:

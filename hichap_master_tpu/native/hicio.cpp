@@ -440,7 +440,7 @@ long hicio_parse_allelic_chunk(const char* buf, long nbytes,
         *out = neg ? -v : v;
         return true;
     };
-    const int want = with_tag ? 5 : 4;
+    const int want = with_tag ? 5 : 4;  // tag column optional: see below
     long out = 0;
     const char* p = buf;
     const char* const end = buf + nbytes;
@@ -462,18 +462,22 @@ long hicio_parse_allelic_chunk(const char* buf, long nbytes,
             }
         }
         p = nl ? nl + 1 : end;
-        if (col < want) continue;  // short row
+        if (col < 4) continue;  // short row
         const int a = lookup(fb[0], fe[0]);
         const int b = lookup(fb[2], fe[2]);
         if (a < 0 || b < 0) continue;
         int64_t v1, v2;
         if (!num(fb[1], fe[1], &v1) || !num(fb[3], fe[3], &v2)) continue;
         if (with_tag) {
-            const size_t tl = static_cast<size_t>(fe[4] - fb[4]);
+            // rows without a tag column keep -1 (the pandas path's
+            // unmapped-tag code), matching the pre-pandas tolerant reader
             int8_t t = -1;
-            if (tl == 4 && std::memcmp(fb[4], "Both", 4) == 0) t = 0;
-            else if (tl == 2 && fb[4][0] == 'R' && fb[4][1] == '1') t = 1;
-            else if (tl == 2 && fb[4][0] == 'R' && fb[4][1] == '2') t = 2;
+            if (col == 5) {
+                const size_t tl = static_cast<size_t>(fe[4] - fb[4]);
+                if (tl == 4 && std::memcmp(fb[4], "Both", 4) == 0) t = 0;
+                else if (tl == 2 && fb[4][0] == 'R' && fb[4][1] == '1') t = 1;
+                else if (tl == 2 && fb[4][0] == 'R' && fb[4][1] == '2') t = 2;
+            }
             tag[out] = t;
         }
         c1[out] = a;

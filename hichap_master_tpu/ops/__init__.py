@@ -21,8 +21,6 @@ from .correct import (
 from .balance import balanced_matrix, ice_balance, ice_balance_batch
 from .binning import (
     bin_genomewide,
-    bin_genomewide_directed,
-    bin_genomewide_single_side_intra,
     bin_intra,
     bin_intra_single_side,
     stream_chunks,

@@ -104,36 +104,6 @@ def bin_intra_single_side(acc: jnp.ndarray, c1: jnp.ndarray, p1: jnp.ndarray,
     return acc.at[ci, r, c].add(intra.astype(acc.dtype))
 
 
-@functools.partial(jax.jit, static_argnames=("res",), donate_argnums=(0,))
-def bin_genomewide_single_side_intra(acc: jnp.ndarray, b1: jnp.ndarray,
-                                     b2: jnp.ndarray, is_r1: jnp.ndarray,
-                                     valid: jnp.ndarray, res: int) -> jnp.ndarray:
-    """Genome-wide single-triangle increments from precomputed bins."""
-    r = jnp.where(is_r1, b1, b2)
-    c = jnp.where(is_r1, b2, b1)
-    r = jnp.where(valid, r, 0)
-    c = jnp.where(valid, c, 0)
-    return acc.at[r, c].add(valid.astype(acc.dtype))
-
-
-@functools.partial(jax.jit, static_argnames=("res",), donate_argnums=(0,))
-def bin_genomewide_directed(acc: jnp.ndarray, c1: jnp.ndarray, p1: jnp.ndarray,
-                            c2: jnp.ndarray, p2: jnp.ndarray,
-                            offsets1: jnp.ndarray, offsets2: jnp.ndarray,
-                            valid: jnp.ndarray, res: int) -> jnp.ndarray:
-    """Cross-haplotype (M_P / P_M) contacts: always increment both [b1,b2]
-    and [b2,b1] with distinct offset tables for the two sides
-    (matrixBuilding.py:1217-1221)."""
-    ci1 = jnp.clip(c1, 0, offsets1.shape[0] - 1)
-    ci2 = jnp.clip(c2, 0, offsets2.shape[0] - 1)
-    b1 = jnp.where(valid, p1 // res + offsets1[ci1], 0)
-    b2 = jnp.where(valid, p2 // res + offsets2[ci2], 0)
-    inc = valid.astype(acc.dtype)
-    acc = acc.at[b1, b2].add(inc)
-    acc = acc.at[b2, b1].add(inc)
-    return acc
-
-
 # ------------------------------------------------------------ host driver
 def pad_chunk(arrs, chunk: int):
     """Pad columnar arrays to ``chunk`` length; returns padded + valid mask."""

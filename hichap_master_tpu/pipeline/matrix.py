@@ -482,8 +482,14 @@ class _GWAcc:
       ``DENSE_GW_MAX_BINS``: O(nnz) host memory, the layout the cooler is
       written in;
     * ``host`` — dense [S, S] f32 with periodic np.bincount flushes (wins
-      for small, dense targets; see the measured policy note above);
-    * ``dev`` — device [S, S] f32 with chunked XLA scatter-adds.
+      for small, dense targets).  Streaming means the contact count is
+      unknown up front, so unlike ``_host_bincount_ok`` (which sees the
+      whole array) this gates on the grid size alone — a short stream
+      into a near-cap grid pays one oversized bincount flush, which is
+      bounded by ``_HOST_BINCOUNT_CELLS`` (~1 GB f32 + a 2 GB int64
+      temp) and still beats per-chunk device scatters over a slow link;
+    * ``dev`` — device [S, S] f32 with chunked XLA scatter-adds
+      (``HICHAP_HOST_BINCOUNT=0``).
 
     ``add_sym`` is the symmetric diagonal-once rule (matrixBuilding.py:
     588-592); ``add_directed`` the literal single-triangle rule of the

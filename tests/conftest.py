@@ -56,10 +56,9 @@ def pytest_configure(config):
                 pass
         env = dict(os.environ)
         env["HICHAP_TPU_TEST_REEXEC"] = "1"
-        env.pop("PALLAS_AXON_POOL_IPS", None)
         # keep the plugin address around: @pytest.mark.tpu tests restore it
-        # in their own clean subprocesses
-        env["HICHAP_SAVED_AXON_IPS"] = env["PALLAS_AXON_POOL_IPS"]
+        # in their own clean subprocesses (save BEFORE popping)
+        env["HICHAP_SAVED_AXON_IPS"] = env.pop("PALLAS_AXON_POOL_IPS", "")
         env["JAX_PLATFORMS"] = "cpu"
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                             + " --xla_force_host_platform_device_count=8"

@@ -146,6 +146,24 @@ def test_native_scanners_handle_crlf(tmp_path, genome, monkeypatch):
         np.testing.assert_array_equal(x, y)
 
 
+def test_allelic_tagless_rows_default_minus_one(tmp_path, genome,
+                                                monkeypatch):
+    """A with_tag read of a bed whose rows have NO 5th column yields
+    tag=-1 for those rows (the old tolerant per-line reader's behavior)
+    through BOTH parse paths — a review found the pandas path raising
+    and the native scanner dropping such rows."""
+    p = tmp_path / "tagless.bed"
+    p.write_text("1\t100\t2\t200\n"            # no tag
+                 "2\t300\t1\t400\tR1\n"        # tagged
+                 "1\t500\t1\t600\n")           # no tag
+    for env in ("1", "0"):
+        monkeypatch.setenv("HICHAP_NATIVE_BED", env)
+        parts = list(iter_allelic_bed([str(p)], genome, True))
+        tag = np.concatenate([pt[4] for pt in parts])
+        assert tag.tolist() == [-1, TAG_R1, -1], env
+        assert sum(len(pt[0]) for pt in parts) == 3
+
+
 def test_allelic_tags_and_stream(tmp_path, genome):
     p = tmp_path / "a.bed"
     p.write_text("1\t100\t2\t200\tBoth\n"
