@@ -183,6 +183,33 @@ class _Watchdog:
         return False
 
 
+def _cpu_fallback_reexec() -> bool:
+    """Device backend unusable (dead/wedged tunnel): re-run this bench in
+    a fresh CPU-backend process so the round still records a REAL
+    measured rate (tagged backend=cpu_fallback) instead of value 0.
+    Returns True when the fallback ran and printed its JSON line."""
+    if os.environ.get("HICHAP_BENCH_CPU_FALLBACK") == "1":
+        return False  # already the fallback: report the failure honestly
+    import subprocess
+
+    env = dict(os.environ)
+    env["HICHAP_BENCH_CPU_FALLBACK"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    try:
+        res = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             timeout=3600)
+        line = res.stdout.strip().splitlines()[-1]
+        rec = json.loads(line)
+    except Exception:
+        return False
+    rec.setdefault("extras", {})["backend"] = "cpu_fallback"
+    rec["extras"]["device_error"] = "device backend unusable; CPU fallback"
+    print(json.dumps(rec))
+    return True
+
+
 def main():
     _enable_compile_cache()
     # PRIMARY metric: the honest genome-wide number — block-sparse ICE over
@@ -193,6 +220,8 @@ def main():
             sparse = sparse_genomewide_extras()
     except Exception as e:
         sparse = {"error": repr(e)[:200]}
+        if _cpu_fallback_reexec():
+            return
     if "error" not in sparse:
         out = {
             "metric": "sparse_genomewide_ice_iters_per_sec_10kb_hg19",
