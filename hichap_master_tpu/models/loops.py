@@ -60,19 +60,6 @@ def peaks_parameters(res: int):
 
 
 # ------------------------------------------------------- pixel stencils
-@functools.partial(jax.jit, static_argnames=("w", "pw"))
-def _level_at_pixels(S1_raw, S1_exp, S1_bal, xi, yi, w, pw):
-    """One escalation level at the candidate pixels, numerically stable
-    (row-prefix / stripe-prefix rectangles, ops/loops_kernel.py)."""
-    return (
-        lowerleft_at_stable(S1_raw, xi, yi, w, pw),
-        donut_at_stable(S1_bal, xi, yi, w, pw),
-        donut_at_stable(S1_exp, xi, yi, w, pw),
-        lowerleft_at_stable(S1_bal, xi, yi, w, pw),
-        lowerleft_at_stable(S1_exp, xi, yi, w, pw),
-    )
-
-
 @functools.partial(jax.jit, static_argnames=("ww", "maxww", "pw"))
 def _escalation_device(S1_raw, S1_exp, S1_bal, xi, yi, valid,
                        ww: int, maxww: int, pw: int):
@@ -962,13 +949,21 @@ def loop_cluster(matrices, res: int, rawfil: str, allelic,
             break
         level1 = nxt
 
+    def _weighted_q(q, sums):
+        """q / 10**sums in float64 like the reference's structured-array
+        arithmetic: a cluster aggregating 309+ candidates overflows to
+        inf (wq -> 0.0, loop kept) where Python-float ``10 ** sums``
+        raises OverflowError and killed the run."""
+        with np.errstate(over="ignore"):
+            return float(np.float64(q) / np.float64(10.0) ** np.float64(sums))
+
     path, fil = os.path.split(rawfil)
     cluster_fil = os.path.join(path or ".", "Cluster_" + fil)
     with open(cluster_fil, "w") as out:
         out.write("chr\tstart\tend\tIF\tweight_Q-value\taggregateNum\n")
         if not allelic:
             for chro, s1, e1, q, sums in level1:
-                wq = q / (10 ** sums)
+                wq = _weighted_q(q, sums)
                 if wq < weight_q_value:
                     x, y = s1 // res, e1 // res
                     IF = float(matrices[chro][x, y])
@@ -979,10 +974,14 @@ def loop_cluster(matrices, res: int, rawfil: str, allelic,
             for chro, s1, e1, q, sums in level1:
                 M = matrices[pre + chro]
                 x, y = s1 // res, e1 // res
-                wq = q / (10 ** sums)
+                wq = _weighted_q(q, sums)
                 if wq < weight_q_value:
+                    # reference replaces only EXACT zeros with 1e-20
+                    # (StructureFind.py's float64 underflow floor), not a
+                    # general clamp — a max() compressed every strong
+                    # cluster's -log10 score
                     weighted.append((chro, s1, e1, float(M[x, y]),
-                                     max(wq, 1e-20), sums))
+                                     wq if wq > 0 else 1e-20, sums))
             if weighted:
                 thr = {}
                 chros = {w[0] for w in weighted}
@@ -1040,9 +1039,12 @@ def plot_loops(pdf_path: str, cooler_path: str, res: int, allelic,
                     ax.imshow(W, cmap=cmap, aspect="auto",
                               interpolation="none",
                               vmax=np.percentile(nz, 95), origin="lower")
+                    # imshow with no extent centers pixel k AT k, so the
+                    # marker lands on the called bin (the reference's +0.5
+                    # belongs with its extent=(0, N) axes)
                     for _, s, e in sel:
-                        ax.scatter(s // res - start + 0.5,
-                                   e // res - start + 0.5,
+                        ax.scatter(s // res - start,
+                                   e // res - start,
                                    facecolors="none", edgecolors="b", s=10)
                     ax.set_xlabel(f"Chr{label}", size=14)
                     pp.savefig(fig)

@@ -161,15 +161,6 @@ def pack_coo(rows, cols, vals, B: int, Xp: int, e_lo: int, x_pad: int):
     return _pack_coo_core(rows, cols, vals, B, Xp, e_lo, x_pad)
 
 
-@functools.partial(jax.jit, static_argnames=("B", "Xp", "e_lo", "x_pad"))
-def pack_coo_batch(rows, cols, vals, B: int, Xp: int, e_lo: int,
-                   x_pad: int):
-    """pack_coo over a leading chromosome axis: [C, nnz] → [C, E, Xp]."""
-    return jax.vmap(
-        lambda r, c, v: _pack_coo_core(r, c, v, B, Xp, e_lo, x_pad)
-    )(rows, cols, vals)
-
-
 @jax.jit
 def anti_diagonal_prefix(D: jnp.ndarray) -> jnp.ndarray:
     """W[e, x] = R[e, x] + W[e-1, x+1], R = cumsum of D over e."""

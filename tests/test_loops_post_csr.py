@@ -41,6 +41,26 @@ def _candidates(path, rng, n=80, count=60):
                     f"3.0\t1e-9\t1e-9\n")
 
 
+def test_cluster_aggregate_overflow_keeps_loop(tmp_path, rng):
+    """A cluster aggregating 309+ candidates drives 10**sums past the
+    float64 max: the reference's array arithmetic yields inf (wq -> 0,
+    loop kept); Python-float pow raised OverflowError and killed the
+    final stage (round-3 review find)."""
+    M, (r, c, v) = _mats(rng)
+    cand = tmp_path / "cand.txt"
+    with open(cand, "w") as f:
+        f.write(HEAD)
+        for _ in range(400):  # all cluster to one centroid
+            q = 1e-9
+            f.write(f"1\t{5 * RES}\t{12 * RES}\t0\t3.0\t{q}\t{q}\t"
+                    f"3.0\t{q}\t{q}\n")
+    cache = {"1": _sym_csr(r, c, v, M.shape[0])}
+    cluster = loop_cluster(cache, RES, str(cand), False)
+    lines = open(cluster).read().splitlines()
+    assert len(lines) == 2  # header + the kept (wq == 0.0) loop
+    assert float(lines[1].split("\t")[4]) == 0.0
+
+
 def test_selection_and_cluster_csr_matches_dense(tmp_path, rng):
     M, (r, c, v) = _mats(rng)
     cand = tmp_path / "cand.txt"
