@@ -111,14 +111,22 @@ def select_pc_legacy(cor: np.ndarray, pcs: np.ndarray) -> np.ndarray:
 
 def select_allelic_pc(pcs_full: np.ndarray, traditional_pc: np.ndarray,
                       eps: float = 0.7) -> np.ndarray:
-    """Supervised pick by |corr| with the traditional PC (StructureFind.py:446)."""
+    """Supervised pick by |corr| with the traditional PC (StructureFind.py:446).
+
+    The chosen component is ORIENTED so it correlates positively with the
+    traditional track — the reference returns it unflipped, leaving the
+    allelic A/B sign to the PCA solver's arbitrary initialization, so a
+    maternal track could be globally inverted relative to the traditional
+    one it was matched against (DIVERGENCES.md D15)."""
     pcc = []
     for pc in pcs_full:
         r = np.corrcoef(pc, traditional_pc)[0][1]
-        pcc.append(abs(r) if np.isfinite(r) else 0.0)
-    if np.max(pcc) < eps:
+        pcc.append(r if np.isfinite(r) else 0.0)
+    if np.max(np.abs(pcc)) < eps:
         log.warning("PCC too low for this chromosome, check it if possible!")
-    return pcs_full[int(np.argmax(pcc))]
+    best = int(np.argmax(np.abs(pcc)))
+    pc = pcs_full[best]
+    return -pc if pcc[best] < 0 else pc
 
 
 def load_pc_track(path: str) -> Dict[str, np.ndarray]:
@@ -138,10 +146,16 @@ import functools as _functools
 import jax as _jax
 
 
-@_functools.partial(_jax.jit, static_argnames=("step", "pca_method"))
-def _compartment_fused(Mj, gapj, nj, ngj, gj, step: int, pca_method: str):
+@_functools.partial(_jax.jit,
+                    static_argnames=("step", "pca_method", "with_selection"))
+def _compartment_fused(Mj, gapj, nj, ngj, gj, step: int, pca_method: str,
+                       with_selection: bool = True):
     """One compiled graph per (shape, step): decay → O/E → correlation →
-    PCA → signed PC selection, everything device-resident."""
+    PCA → signed PC selection, everything device-resident.
+
+    ``with_selection=False`` drops the Select_PC_new stage (three full
+    correlation-matrix reductions) — the allelic path discards it and
+    re-selects host-side against the traditional track."""
     import jax.numpy as jnp
 
     from ..ops.pc_select import select_pc_new_device
@@ -157,6 +171,8 @@ def _compartment_fused(Mj, gapj, nj, ngj, gj, step: int, pca_method: str):
     cor = correlation_matrix(Xp, nj)
     cor = cor * (col_valid[:, None] & col_valid[None, :])
     pcs, _ = pca_components(cor, gj, k=3, method=pca_method)
+    if not with_selection:
+        return oe, cor, pcs, pcs[0]
     oe_ng = Xp[ngj, :] * col_valid[:, None]
     pc_signed = select_pc_new_device(cor, oe_ng, pcs, gj)
     return oe, cor, pcs, pc_signed
@@ -257,7 +273,8 @@ def single_chrom_compartment(M: np.ndarray, res: int, sliding: bool = False,
 _BATCH_MAX_BYTES = 2 << 30  # cap a compartment batch at ~2 GB of matrices
 
 
-def _compartment_batched(reader, chroms, res, sliding, pca_method):
+def _compartment_batched(reader, chroms, res, sliding, pca_method,
+                         with_selection: bool = True):
     """Batch chromosomes of equal padded size through one vmapped fused
     graph (per-dispatch latency dominates at coarse resolutions)."""
     import jax
@@ -274,8 +291,8 @@ def _compartment_batched(reader, chroms, res, sliding, pca_method):
 
     fused_v = jax.jit(
         jax.vmap(_compartment_fused.__wrapped__,
-                 in_axes=(0, 0, 0, 0, 0, None, None)),
-        static_argnums=(5, 6))
+                 in_axes=(0, 0, 0, 0, 0, None, None, None)),
+        static_argnums=(5, 6, 7))
     step = (600_000 // res // 2) if sliding else 0
 
     results = {}
@@ -301,7 +318,7 @@ def _compartment_batched(reader, chroms, res, sliding, pca_method):
                 Mb, jnp.asarray(np.stack(gaps)),
                 jnp.asarray(np.asarray([sizes[c] for c in sub])),
                 jnp.asarray(np.stack(ngps)), jnp.asarray(np.asarray(gs)),
-                step, pca_method)
+                step, pca_method, with_selection)
             pcs_h = np.asarray(pcs)
             sig_h = np.asarray(pc_signed)
             for k, c in enumerate(sub):
@@ -353,7 +370,8 @@ def run_compartment(cooler_path: str, res: int, allelic,
     tracks: Dict[str, np.ndarray] = {}
     extras = {}
     want_mats = (plot and ms in ("OE", "Cor")) or use_legacy
-    pre = (_compartment_batched(reader, chroms, res, sliding, pca_method)
+    pre = (_compartment_batched(reader, chroms, res, sliding, pca_method,
+                                with_selection=not allelic)
            if batched and not want_mats else None)
     for chro in chroms:
         if pre is not None:
@@ -437,7 +455,12 @@ def _plot_compartment(pdf_path, reader, tracks, res, allelic, ms="IF",
                 r = extras[chro]
                 n = len(sig)
                 if ms == "OE":
-                    M = r["oe"]
+                    # reference plots the gap-REFILLED O/E (gap stripes
+                    # blank, vmax over non-gap values only) — the raw O/E
+                    # keeps values in gap columns
+                    oe = np.asarray(r["oe"])[:n, :n]
+                    M = _refill_gap(
+                        n, oe[np.ix_(r["nongap"], r["nongap"])], r["nongap"])
                 else:  # Cor
                     M = _refill_gap(n, r["cor"], r["nongap"])
             nz = M[np.nonzero(M)]

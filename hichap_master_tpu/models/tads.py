@@ -26,7 +26,7 @@ from ..core.contacts import pad_to_bucket
 from ..io.cooler import CoolerReader
 from ..ops.di import (directionality_index, directionality_index_band,
                       tad_gap_mask, tad_gap_mask_counts)
-from ..ops.hmm import GMMHMM, baum_welch, viterbi
+from ..ops.hmm import GMMHMM, viterbi
 from ..utils.logging import get_logger
 from .compartment import _proper_unit
 
@@ -481,32 +481,58 @@ def _plot_tads(pdf_path, reader, chroms, results, res, allelic, fetch,
     from matplotlib.backends.backend_pdf import PdfPages
     from matplotlib.colors import LinearSegmentedColormap
 
+    from ..models.compartment import _proper_unit  # reference properU
+
     cmap = LinearSegmentedColormap.from_list("interactions",
                                              ["#FFFFFF", "#CD0000"])
+    interval = max(length // res, 1)
     with PdfPages(pdf_path) as pp:
         for c in chroms:
             M = fetch(c)
             di = results[c]["di"]
             ds, de = results[c]["domains"]
-            nz = M[np.nonzero(M)]
-            if nz.size == 0:
-                continue
-            vmax = np.percentile(nz, 95)
-            fig, (ax_di, ax) = plt.subplots(
-                2, 1, figsize=(10, 9), gridspec_kw={"height_ratios": [1, 6]})
-            ax.imshow(M, cmap=cmap, aspect="auto", interpolation="none",
-                      vmin=0, vmax=vmax, origin="lower")
-            for s, e in zip(ds, de):
-                sb, eb = s // res, e // res
-                ax.plot([sb, eb, eb, sb, sb], [sb, sb, eb, eb, sb],
-                        color="#0000FF", lw=0.5)
-            x = np.arange(len(di))
-            ax_di.fill_between(x, di, where=di <= 0, color="#7093DB")
-            ax_di.fill_between(x, di, where=di >= 0, color="#E47833")
-            ax_di.set_xlim(0, len(di))
-            ax_di.set_ylabel("DI")
-            ax_di.set_xticks([])
-            label = c[1:] if allelic else c
-            ax.set_xlabel(f"Chr{label}", size=14)
-            pp.savefig(fig)
-            plt.close(fig)
+            N = M.shape[0]
+            # reference tiles full 4 Mb windows and drops the tail
+            # (StructureFind.py:1345-1434); chromosomes SHORTER than one
+            # window get a single whole-chromosome page here instead of
+            # no page at all
+            n_win = N // interval
+            windows = ([(k * interval, (k + 1) * interval)
+                        for k in range(n_win)] if n_win else [(0, N)])
+            for start, end in windows:
+                W = M[start:end, start:end]
+                nz = W[np.nonzero(W)]
+                if nz.size <= 100:
+                    continue
+                vmax = np.percentile(nz, 95)
+                fig, (ax_di, ax) = plt.subplots(
+                    2, 1, figsize=(10, 9),
+                    gridspec_kw={"height_ratios": [1, 6]})
+                ax.imshow(W, cmap=cmap, aspect="auto", interpolation="none",
+                          vmin=0, vmax=vmax, origin="lower")
+                # domains with a start OR end strictly inside the window
+                # (the reference mask; crossing domains draw clipped)
+                for s, e in zip(ds, de):
+                    if not ((start * res < s < end * res)
+                            or (start * res < e < end * res)):
+                        continue
+                    sb, eb = s // res - start, e // res - start
+                    ax.plot([sb, eb, eb, sb, sb], [sb, sb, eb, eb, sb],
+                            color="#0000FF", lw=0.5)
+                ax.set_xlim(0, end - start)
+                ax.set_ylim(0, end - start)
+                ticks = list(np.linspace(0, end - start, 5).astype(int))
+                ax.set_xticks(ticks)
+                ax.set_xticklabels(
+                    [_proper_unit((start + t) * res) for t in ticks])
+                seg = di[start:end]
+                x = np.arange(len(seg))
+                ax_di.fill_between(x, seg, where=seg <= 0, color="#7093DB")
+                ax_di.fill_between(x, seg, where=seg >= 0, color="#E47833")
+                ax_di.set_xlim(0, len(seg))
+                ax_di.set_ylabel("DI")
+                ax_di.set_xticks([])
+                label = c[1:] if allelic else c
+                ax.set_xlabel(f"Chr{label}", size=14)
+                pp.savefig(fig)
+                plt.close(fig)

@@ -82,7 +82,6 @@ def _e_step(X, L, A, pi, means, varis, weights):
     S = A.shape[0]
 
     logb, comp_post = _log_mix(X, means, varis, weights)  # [B,T,S], [B,T,S,K]
-    bprob = jnp.exp(logb)
     tmask = (jnp.arange(T)[None, :] < L[:, None]).astype(X.dtype)  # [B,T]
 
     def fwd_step(carry, inp):
@@ -98,7 +97,14 @@ def _e_step(X, L, A, pi, means, varis, weights):
         return alpha, (alpha, c)
 
     def one_seq(x_b, logb_b, mask_b):
-        b_b = jnp.exp(logb_b)
+        # per-timestep emission normalization: exp(logb) underflows to 0
+        # below logb ~ -87 in float32 (chitest DI statistics reach
+        # hundreds), which zeroed alpha for the rest of the scan and
+        # silently truncated EM.  Scaled forward-backward is invariant to
+        # a per-t emission scale — the shift folds into the scaling
+        # constants and returns via the log-likelihood.
+        mx = jnp.max(logb_b, axis=-1)
+        b_b = jnp.exp(logb_b - mx[:, None])  # argmax state = 1, no underflow
         raw0 = pi * b_b[0]
         c0 = jnp.sum(raw0)
         c0 = jnp.where(c0 > 0, c0, 1.0)
@@ -130,7 +136,7 @@ def _e_step(X, L, A, pi, means, varis, weights):
         xi = (alphas[:-1][:, :, None] * A[None] *
               (b_b[1:] * betas[1:])[:, None, :] / cs[1:][:, None, None])
         xi = xi * pair_mask[:, None, None]
-        loglik = jnp.sum(jnp.log(cs) * mask_b)
+        loglik = jnp.sum((jnp.log(cs) + mx) * mask_b)
         return gamma, xi.sum(0), loglik
 
     gamma, xi_sum, loglik = jax.vmap(one_seq)(X, logb, tmask)
@@ -224,16 +230,8 @@ def baum_welch(model: GMMHMM, seqs: Sequence[np.ndarray], tol: float = 1e-6,
         st = _e_step(Xj, Lj, A, pi, means, varis, weights)
         ll = float(st["loglik"])
         hist.append(ll)
-        A_new = st["A_num"] / jnp.maximum(st["gsum_nolast"][:, None], 1e-300)
-        A_new = jnp.where(jnp.asarray(zero_A), 0.0, A_new)
-        A_new = A_new / jnp.maximum(A_new.sum(1, keepdims=True), 1e-300)
-        pi_new = jnp.where(jnp.asarray(zero_pi), 0.0, st["pi_new"])
-        pi_new = pi_new / jnp.maximum(pi_new.sum(), 1e-300)
-        gk = jnp.maximum(st["gk_sum"], 1e-300)
-        w_new = gk / gk.sum(1, keepdims=True)
-        mu_new = st["x_sum"] / gk
-        var_new = jnp.maximum(st["x2_sum"] / gk - mu_new**2, VAR_FLOOR)
-        A, pi, means, varis, weights = A_new, pi_new, mu_new, var_new, w_new
+        A, pi, means, varis, weights = _m_step(
+            st, jnp.asarray(zero_A), jnp.asarray(zero_pi))
         if np.isfinite(prev) and abs(ll - prev) < tol * (abs(prev) + 1.0):
             break
         prev = ll

@@ -116,7 +116,9 @@ def test_loops_plot_content(cool, tmp_path, captured_figs):
     assert len(captured_figs) == 1
     ax = captured_figs[0].axes[0]
     offsets = np.vstack([c.get_offsets() for c in ax.collections])
-    want = np.asarray([[a // RES + 0.5, b // RES + 0.5] for _, a, b in loops])
+    # markers at the pixel CENTER: imshow with no extent centers cell k
+    # at coordinate k (the reference's +0.5 belonged with extent=(0, N))
+    want = np.asarray([[a // RES, b // RES] for _, a, b in loops])
     got = offsets[np.lexsort(offsets.T[::-1])]
     want = want[np.lexsort(want.T[::-1])]
     np.testing.assert_allclose(got, want)
