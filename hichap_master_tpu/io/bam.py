@@ -143,8 +143,12 @@ def _bgzf_block(payload: bytes) -> bytes:
 
 
 def _encode_record(r: AlnRecord, ref_index: Dict[str, int]) -> bytes:
-    ref_id = ref_index.get(r.reference_name, -1) \
-        if r.reference_name else -1
+    if r.reference_name is None:
+        ref_id = -1
+    else:
+        # silently writing -1 here would round-trip a MAPPED record into
+        # an unmapped-looking one; a header/record mismatch is caller error
+        ref_id = ref_index[r.reference_name]
     name = r.query_name.encode() + b"\x00"
     l_seq = len(r.seq)
     nyb = bytearray((l_seq + 1) // 2)
@@ -197,14 +201,8 @@ def write_bam(path: str, records: List[AlnRecord],
 def bam_to_sam(bam_path: str, sam_path: str) -> None:
     """Streaming BAM → SAM text conversion (for the native external
     name-sort/merge, which operates on text lines)."""
+    from .sam import format_sam_line
+
     with open(sam_path, "w") as out:
         for r in read_bam(bam_path):
-            tags = []
-            if r.tag_as is not None:
-                tags.append(f"AS:i:{r.tag_as}")
-            if r.tag_xs is not None:
-                tags.append(f"XS:i:{r.tag_xs}")
-            out.write("\t".join([
-                r.query_name, str(r.flag), r.reference_name or "*",
-                str(r.pos + 1), str(r.mapq), "*", "*", "0", "0",
-                r.seq or "*", r.qual or "*"] + tags) + "\n")
+            out.write(format_sam_line(r))

@@ -96,20 +96,29 @@ def save_snps(snps: Dict[str, dict], path: str) -> None:
     np.savez_compressed(path, **flat)
 
 
+def _str_alleles(d: dict) -> dict:
+    """Allele columns as unicode: the reference's py2 pickle stores 'S1'
+    bytes, and ``snps_match`` compares against str read bases — a bytes
+    column made every SNP count silently zero in allelic mode."""
+    return {k: (v.astype("U") if v.dtype.kind == "S" else v)
+            for k, v in d.items()}
+
+
 def load_snps(path: str) -> Dict[str, dict]:
     """Load our npz or the reference's ``Snps.pickle``."""
     if path.endswith(".pickle") or path.endswith(".pkl"):
         with open(path, "rb") as f:
             raw = pickle.load(f, encoding="latin1")
         return {
-            c: {k: np.asarray(v) for k, v in d.items()} for c, d in raw.items()
+            c: _str_alleles({k: np.asarray(v) for k, v in d.items()})
+            for c, d in raw.items()
         }
     data = np.load(path, allow_pickle=False)
     out: Dict[str, dict] = {}
     for key in data.files:
         c, field = key.split("/", 1)
         out.setdefault(c, {})[field] = data[key]
-    return out
+    return {c: _str_alleles(d) for c, d in out.items()}
 
 
 def find_sites(seq: np.ndarray, site: str) -> np.ndarray:

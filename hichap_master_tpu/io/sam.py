@@ -56,7 +56,7 @@ def _open(path, mode="rt"):
 def parse_sam_line(line: str) -> Optional[AlnRecord]:
     if not line or line.startswith("@"):
         return None
-    f = line.rstrip("\n").split("\t")
+    f = line.rstrip("\r\n").split("\t")  # CRLF SAM: see the scanners
     if len(f) < 11:
         return None
     flag = int(f[1])
@@ -81,6 +81,21 @@ def read_sam(path: str) -> Iterator[AlnRecord]:
                 yield rec
 
 
+def format_sam_line(r: AlnRecord) -> str:
+    """One SAM body line (shared by write_sam and the BAM→SAM
+    conversion; empty SEQ/QUAL emit '*' per spec — an empty column is
+    malformed SAM)."""
+    tags = []
+    if r.tag_as is not None:
+        tags.append(f"AS:i:{r.tag_as}")
+    if r.tag_xs is not None:
+        tags.append(f"XS:i:{r.tag_xs}")
+    return "\t".join([
+        r.query_name, str(r.flag), r.reference_name or "*",
+        str(r.pos + 1), str(r.mapq), "*", "*", "0", "0",
+        r.seq or "*", r.qual or "*"] + tags) + "\n"
+
+
 def write_sam(path: str, records: List[AlnRecord],
               references: Optional[dict] = None) -> None:
     op = gzip.open if str(path).endswith(".gz") else open
@@ -89,15 +104,7 @@ def write_sam(path: str, records: List[AlnRecord],
             for name, length in references.items():
                 f.write(f"@SQ\tSN:{name}\tLN:{length}\n")
         for r in records:
-            tags = []
-            if r.tag_as is not None:
-                tags.append(f"AS:i:{r.tag_as}")
-            if r.tag_xs is not None:
-                tags.append(f"XS:i:{r.tag_xs}")
-            f.write("\t".join([
-                r.query_name, str(r.flag),
-                r.reference_name or "*", str(r.pos + 1), str(r.mapq), "*",
-                "*", "0", "0", r.seq, r.qual] + tags) + "\n")
+            f.write(format_sam_line(r))
 
 
 def read_alignments(path: str) -> Iterator[AlnRecord]:

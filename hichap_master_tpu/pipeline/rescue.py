@@ -32,6 +32,15 @@ def split_read(name: str, seq: str, qual: str,
                junc: Tuple[str, str, bool]) -> str:
     """FASTQ text for the rescued sub-read(s); '' when not rescuable."""
     jplus, jminus, palindromic = junc
+    if not jplus:
+        # e.g. NlaIII (site CATG, cut (4, -4)): the reference's junction
+        # formula yields an empty string, and re.finditer('') matches at
+        # every offset — every read would silently classify "confused"
+        # and the whole Rescue stage would be a no-op
+        raise ValueError(
+            "empty junction sequence for this enzyme: its cut geometry "
+            "leaves no ligation junction to rescue on — skip the Rescue "
+            "stage for this enzyme")
     jlen = len(jplus)
     sites = [m.start() for m in re.finditer(jplus, seq)]
     if not palindromic and not sites:
@@ -62,7 +71,9 @@ def rescue_sam(aln_path: str, out_fastq: str,
                 txt = split_read(rec.query_name, rec.seq, rec.qual, junc)
                 if txt:
                     out.write(txt)
-                    n += txt.count("@")
+                    # 4 lines per FASTQ record ('@' also appears as the
+                    # Phred-31 quality character, which inflated counts)
+                    n += txt.count("\n") // 4
     return n
 
 
@@ -76,6 +87,10 @@ def cutting_reads_to_remapping(aln_dir: str, out_dir: str, enzyme: str,
     os.makedirs(out_dir, exist_ok=True)
     site, cutsite = enzyme_handle(enzyme)
     junc = junction_info(site, cutsite)
+    if not junc[0]:
+        raise ValueError(
+            f"enzyme {enzyme!r} leaves no ligation junction (empty junction "
+            "sequence) — the Rescue stage cannot apply; run without it")
     if junc[2]:
         log.log(21, "junction sequence is %s", junc[0])
     else:
@@ -87,13 +102,23 @@ def cutting_reads_to_remapping(aln_dir: str, out_dir: str, enzyme: str,
     else:
         files = [f for f in os.listdir(aln_dir) if allel_mark in f
                  and f.endswith(suffixes)]
-    outs = []
+    jobs = []
     for f in sorted(files):
         out_name = f
         for suf in suffixes:
             out_name = out_name.removesuffix(suf)
         out_fq = os.path.join(out_dir, out_name + "_unmapped.fq")
-        n = rescue_sam(os.path.join(aln_dir, f), out_fq, junc)
-        log.log(21, "rescued %d sub-reads from %s", n, f)
-        outs.append(out_fq)
-    return outs
+        jobs.append((os.path.join(aln_dir, f), out_fq))
+    if threads > 1 and len(jobs) > 1:
+        # per-chunk process pool like the reference's
+        # Cutting_Reads_To_ReMapping (fastqPlus.py:156-234)
+        import multiprocessing as mp
+
+        with mp.get_context("spawn").Pool(min(threads, len(jobs))) as pool:
+            counts = pool.starmap(
+                rescue_sam, [(a, o, junc) for a, o in jobs])
+    else:
+        counts = [rescue_sam(a, o, junc) for a, o in jobs]
+    for (a, _o), n in zip(jobs, counts):
+        log.log(21, "rescued %d sub-reads from %s", n, os.path.basename(a))
+    return [o for _a, o in jobs]

@@ -136,3 +136,26 @@ def test_iter_groups():
     recs = [rec("a_1"), rec("a_2"), rec("b_1"), rec("b_2"), rec("b_21")]
     groups = list(iter_groups(recs))
     assert [len(g) for g in groups] == [2, 3]
+
+
+def test_snps_match_reference_pickle_bytes(tmp_path):
+    """The reference's py2 Snps.pickle stores 'S1' BYTES alleles; a str
+    read base never equals b'G', so every SNP count was silently zero in
+    allelic mode (round-3 review find) — load_snps must decode."""
+    import pickle
+
+    from hichap_master_tpu.io.fasta import load_snps
+
+    raw = {"1": {
+        "pos": np.array([105, 110, 200]),
+        "m_alt": np.array([b"G", b"T", b"A"], dtype="S1"),
+        "p_alt": np.array([b"C", b"C", b"C"], dtype="S1"),
+    }}
+    p = tmp_path / "Snps.pickle"
+    with open(p, "wb") as f:
+        pickle.dump(raw, f, protocol=2)
+    snps = load_snps(str(p))
+    seq = "A" * 4 + "G" + "A" * 4 + "T" + "A" * 40
+    r = rec("x_1", pos=100, seq=seq)
+    assert snps_match(r, snps, "Maternal") == 2
+    assert snps_match(r, snps, "Paternal") == 0
