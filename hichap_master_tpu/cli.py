@@ -188,14 +188,18 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+_DONE_MARK = ".hichap_stage_done"
+
+
 def _stage_done(args, out_dir) -> bool:
-    """Stage-granular resume: outputs already present → skip."""
+    """Stage-granular resume: skip only stages this CLI COMPLETED (a
+    completion marker is written at the end of each resumable stage) —
+    "any non-empty file exists" also matched the partial outputs of a
+    crashed stage and skipped straight past the failure."""
     if not getattr(args, "resume", False):
         return False
-    if out_dir and os.path.isdir(out_dir) and any(
-            os.path.getsize(os.path.join(out_dir, f)) > 0
-            for f in os.listdir(out_dir)):
-        log.log(21, "resume: outputs already present under %s — skipping",
+    if out_dir and os.path.exists(os.path.join(out_dir, _DONE_MARK)):
+        log.log(21, "resume: stage completed previously under %s — skipping",
                 out_dir)
         return True
     return False
@@ -217,10 +221,11 @@ def run(argv=None) -> int:
     setup_logging(os.path.join(args.workspace, args.logfile))
     log.log(21, "hichap-tpu %s args: %s", args.command, vars(args))
 
+    stage_out_dir = None
     if args.command in _STAGE_OUT:
-        out_dir = getattr(args, "out", None) or os.path.join(
+        stage_out_dir = getattr(args, "out", None) or os.path.join(
             args.workspace, WS_DIRS[_STAGE_OUT[args.command]])
-        if _stage_done(args, out_dir):
+        if _stage_done(args, stage_out_dir):
             return 0
     t_start = time.perf_counter()
 
@@ -281,8 +286,11 @@ def run(argv=None) -> int:
         from .pipeline.rescue import cutting_reads_to_remapping
         aln = args.bam or _ws(args, "global")
         out = args.out or _ws(args, "rescue")
-        mark = "NonAllelic"
-        cutting_reads_to_remapping(aln, out, args.enzyme, mark, args.threads)
+        # every chunk alignment rescues independently — Maternal and
+        # Paternal files alike — so the haplotype mark never narrows the
+        # selection here; -N stays accepted for reference-CLI parity
+        cutting_reads_to_remapping(aln, out, args.enzyme, "NonAllelic",
+                                   args.threads)
 
     elif args.command == "bamProcess":
         from .pipeline.bam_process import bam_extract
@@ -371,6 +379,9 @@ def run(argv=None) -> int:
             CompartmentAllelicSpecificity(args.input[0], args.input[1],
                                           args.resolution).run(args.out)
 
+    if stage_out_dir and os.path.isdir(stage_out_dir):
+        with open(os.path.join(stage_out_dir, _DONE_MARK), "w") as f:
+            f.write(args.command + "\n")
     _dump_stage_metrics(args, time.perf_counter() - t_start)
     return 0
 

@@ -48,14 +48,19 @@ def split_reads(fq: str, folder: str, split_by: int, mate: int) -> List[int]:
     """Split one mate file into chunks.  Returns per-chunk read counts."""
     os.makedirs(folder, exist_ok=True)
     base = os.path.split(fq)[1].split(".")[0].split("_")
-    out_tpl = "_".join(base[:-1]) + "_chunk{0}_{1}.fastq.gz"
+    # cell prefix = filename minus its trailing mate token; the chunk
+    # suffix is the MATE PARAMETER — naming it from the filename token
+    # broke the downstream ``_chunk{i}_{mate}`` contract for _R1/_R2-style
+    # inputs and collided both mates for dot-separated names
+    prefix = "_".join(base[:-1]) if len(base) > 1 else base[0]
+    out_tpl = prefix + "_chunk{0}_{1}.fastq.gz"
 
     counts: List[int] = []
     chunk = 0
     with _reader(fq) as src:
         done = False
         while not done:
-            out_path = os.path.join(folder, out_tpl.format(chunk, base[-1]))
+            out_path = os.path.join(folder, out_tpl.format(chunk, mate))
             w = _writer(out_path)
             n = 0
             for _ in range(split_by):

@@ -48,8 +48,10 @@ def enzyme_handle(enzyme: str) -> Tuple[str, Tuple[int, int]]:
     for ch in enzyme:
         if ch not in _LEGAL:
             raise ValueError(f"Illegal character {ch!r} in enzyme {enzyme!r}")
-    if "-" not in enzyme:
-        raise ValueError(f"No cut site in enzyme {enzyme!r}; mark it with '-'")
+    if enzyme.count("-") != 1:
+        raise ValueError(
+            f"Enzyme spec {enzyme!r} needs exactly ONE '-' cut mark "
+            "(e.g. A-AGCTT)")
     site = "".join(enzyme.split("-"))
     cut = enzyme.index("-")
     return site, (cut, -cut)

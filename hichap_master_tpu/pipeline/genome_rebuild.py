@@ -63,8 +63,14 @@ def enzyme_fragments(chroms: Dict[str, np.ndarray], enzyme: str,
     site, cutsite = enzyme_handle(enzyme)
     with open(out_file, "w") as f:
         for c in sorted(chroms):
+            L = len(chroms[c])
             starts = find_sites(chroms[c], site) + 1 + cutsite[0]
-            pos = np.concatenate([[1], starts, [len(chroms[c])]])
+            # an enzyme cutting at the 3' end of its site (fst5 ==
+            # len(site), e.g. NlaIII) puts the cut of a chromosome-final
+            # site past the end — clamp so the interval table stays
+            # sorted (pairs.frag_mid bisects over it)
+            starts = starts[(starts > 1) & (starts <= L)]
+            pos = np.concatenate([[1], starts, [L]])
             for i in range(len(pos) - 1):
                 f.write(f"{c}\t{pos[i]}\t{pos[i+1]}\n")
     return out_file

@@ -56,13 +56,24 @@ class Task:
     tries: int = 0
 
 
+_FASTQ_SUFFIXES = (".fastq.gz", ".fastq", ".fq.gz", ".fq")
+
+
+def _output_ok(path: str, min_bytes: int = MIN_OUTPUT_BYTES) -> bool:
+    return os.path.exists(path) and os.path.getsize(path) >= min_bytes
+
+
 class RetryingExecutor:
     """Local pool with output validation + resubmission (the WS analogue of
     the reference's PBS retry loop)."""
 
-    def __init__(self, workers: int = 4, max_retries: int = 3):
+    def __init__(self, workers: int = 4, max_retries: int = 3,
+                 min_bytes: int | None = None):
         self.workers = workers
         self.max_retries = max_retries
+        # rescue outputs may legitimately be tiny (few unmapped reads):
+        # min_bytes=0 validates existence only
+        self.min_bytes = MIN_OUTPUT_BYTES if min_bytes is None else min_bytes
 
     def run(self, tasks: List[Task]) -> None:
         pending = list(tasks)
@@ -88,9 +99,8 @@ class RetryingExecutor:
                         len(failed))
             pending = failed
 
-    @staticmethod
-    def _ok(path: str) -> bool:
-        return os.path.exists(path) and os.path.getsize(path) >= MIN_OUTPUT_BYTES
+    def _ok(self, path: str) -> bool:
+        return _output_ok(path, self.min_bytes)
 
 
 class PBSExecutor:
@@ -128,7 +138,11 @@ class PBSExecutor:
         script = (f'echo "{cmd}" | {self.qsub} -N {name} '
                   f"-l nodes=1:ppn={threads} -l mem={self.mem_gb}gb -d ./ "
                   f"-e {log_dir} -o {log_dir}")
-        subprocess.Popen(script, shell=True, stdout=subprocess.PIPE)
+        # block until qsub ACCEPTS the job: a fire-and-forget Popen raced
+        # the drain loop (qstat could poll before the job appeared,
+        # prematurely validating outputs and double-submitting) and
+        # leaked zombie handles
+        subprocess.run(script, shell=True, capture_output=True, check=False)
 
     def run_shell_tasks(self, cmds: List[Tuple[str, str]], name: str,
                         threads: int, log_dir: str) -> None:
@@ -141,11 +155,14 @@ class PBSExecutor:
                 while self._job_count(name) >= self.num_task:
                     time.sleep(self.poll_s)
                 self.submit_shell(cmd, name, threads, log_dir)
-            while self._job_count(name) > 0:
+            # drain: require TWO consecutive zero readings — _job_count
+            # reads 0 on a transient qstat error too
+            zeros = 0
+            while zeros < 2:
+                zeros = zeros + 1 if self._job_count(name) <= 0 else 0
                 time.sleep(self.poll_s)
-            time.sleep(self.poll_s)  # settle before output validation
             failed = [(c, o) for c, o in pending
-                      if not RetryingExecutor._ok(o)]
+                      if not _output_ok(o)]
             if failed:
                 retries += 1
                 if retries > self.max_retries:
@@ -259,7 +276,12 @@ class FakeAligner:
             else:
                 c, p, flag = hits[0]
                 xs = 0 if len(hits) > 1 else None
-                records.append(AlnRecord(name, flag, c, p, 42, seq, qual,
+                # SAM convention: stored SEQ/QUAL are alignment-oriented —
+                # snps_match indexes rec.seq by reference offset, so a
+                # flag-16 record must carry the reverse complement
+                sq, ql = ((seq.translate(self._COMP)[::-1], qual[::-1])
+                          if flag & 16 else (seq, qual))
+                records.append(AlnRecord(name, flag, c, p, 42, sq, ql,
                                          tag_as=0, tag_xs=xs))
         records.sort(key=lambda r: r.query_name)
         write_sam(out_sam, records)
@@ -281,9 +303,11 @@ def ws_mapping(fastq_dir: str, out_dir: str, indexes: Sequence[str],
     if aligner is None:
         aligner = Bowtie2Aligner(threads=max(1, threads // jobs))
     chunks = sorted(f for f in os.listdir(fastq_dir)
-                    if "chunk" in f and (f.endswith(".fastq.gz")
-                                         or f.endswith(".fastq")
-                                         or f.endswith(".fq")))
+                    if "chunk" in f and f.endswith(_FASTQ_SUFFIXES))
+    if not chunks:
+        raise FileNotFoundError(
+            f"no chunk FASTQs ({'/'.join(_FASTQ_SUFFIXES)}) under "
+            f"{fastq_dir} — run rebuildF first or check the directory")
     if index_tags is None:
         if len(indexes) == 2:
             index_tags = ("Maternal", "Paternal")
@@ -304,6 +328,21 @@ def ws_mapping(fastq_dir: str, out_dir: str, indexes: Sequence[str],
     return outs
 
 
+def _rescue_jobs(rescue_dir: str, out_dir: str, index_by_tag):
+    """(fq_path, out_sam, index, tag) for every ``*_<tag>_unmapped.fq`` —
+    the one enumeration both rescue backends share."""
+    jobs = []
+    for f in sorted(os.listdir(rescue_dir)):
+        if not f.endswith("_unmapped.fq"):
+            continue
+        stem = f.removesuffix("_unmapped.fq")
+        tag = next((t for t in index_by_tag if t and t in f), "")
+        jobs.append((os.path.join(rescue_dir, f),
+                     os.path.join(out_dir, stem + ".sam"),
+                     index_by_tag[tag], tag))
+    return jobs
+
+
 def ws_rescue_mapping(rescue_dir: str, out_dir: str,
                       index_by_tag: Dict[str, object],
                       aligner_by_tag: Optional[Dict[str, object]] = None,
@@ -315,31 +354,18 @@ def ws_rescue_mapping(rescue_dir: str, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     tasks: List[Task] = []
     outs: List[str] = []
-    for f in sorted(os.listdir(rescue_dir)):
-        if not f.endswith("_unmapped.fq"):
-            continue
-        stem = f.removesuffix("_unmapped.fq")
-        tag = next((t for t in index_by_tag if t and t in f), "")
-        idx = index_by_tag[tag]
+    for fq, out_sam, idx, tag in _rescue_jobs(rescue_dir, out_dir,
+                                              index_by_tag):
         al = (aligner_by_tag or {}).get(tag, aligner)
         if al is None:
             al = Bowtie2Aligner()
-        out_sam = os.path.join(out_dir, stem + ".sam")
-        tasks.append(Task(_map_one,
-                          (al, idx, os.path.join(rescue_dir, f), out_sam),
-                          out_sam))
+        tasks.append(Task(_map_one, (al, idx, fq, out_sam), out_sam))
         outs.append(out_sam)
-    # Rescue outputs may legitimately be tiny (few unmapped reads); validate
-    # existence only.
-    pending = tasks
-    with ProcessPoolExecutor(jobs, mp_context=_MP) as ex:
-        futs = [ex.submit(t.fn, *t.args) for t in pending]
-        for fu in futs:
-            fu.result()
-    missing = [t.expected_output for t in tasks
-               if not os.path.exists(t.expected_output)]
-    if missing:
-        raise RuntimeError(f"rescue mapping outputs missing: {missing}")
+    # Rescue outputs may legitimately be tiny (few unmapped reads):
+    # validate existence only, but keep the same retry loop as global
+    # mapping (a transient worker failure resubmits instead of aborting
+    # the stage).
+    RetryingExecutor(workers=jobs, min_bytes=0).run(tasks)
     log.log(21, "rescue mapping: %d file(s)", len(tasks))
     return outs
 
@@ -360,14 +386,8 @@ def pbs_rescue_mapping(rescue_dir: str, out_dir: str,
     if not ex.available():
         raise RuntimeError("qsub not found; use WS mode")
     cmds = []
-    for f in sorted(os.listdir(rescue_dir)):
-        if not f.endswith("_unmapped.fq"):
-            continue
-        stem = f.removesuffix("_unmapped.fq")
-        tag = next((t for t in index_by_tag if t and t in f), "")
-        idx = index_by_tag[tag]
-        fq = os.path.join(rescue_dir, f)
-        out_sam = os.path.join(out_dir, stem + ".sam")
+    for fq, out_sam, idx, _tag in _rescue_jobs(rescue_dir, out_dir,
+                                               index_by_tag):
         cmds.append((f"{bowtie2} -x {idx} -p {threads} -U {fq} -S {out_sam}",
                      out_sam))
     ex.run_shell_tasks(cmds, cell, threads, log_dir)
@@ -388,7 +408,12 @@ def pbs_mapping(fastq_dir: str, out_dir: str, indexes: Sequence[str],
     if index_tags is None:
         index_tags = (("Maternal", "Paternal") if len(indexes) == 2
                       else tuple(os.path.basename(str(i)) for i in indexes))
-    chunks = sorted(f for f in os.listdir(fastq_dir) if "chunk" in f)
+    chunks = sorted(f for f in os.listdir(fastq_dir)
+                    if "chunk" in f and f.endswith(_FASTQ_SUFFIXES))
+    if not chunks:
+        raise FileNotFoundError(
+            f"no chunk FASTQs ({'/'.join(_FASTQ_SUFFIXES)}) under "
+            f"{fastq_dir} — run rebuildF first or check the directory")
     cmds = []
     for f in chunks:
         fq = os.path.join(fastq_dir, f)
