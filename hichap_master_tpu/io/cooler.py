@@ -186,6 +186,11 @@ class CoolerWriter:
             grp = f.require_group(grp_name)
             for k in list(grp.keys()):
                 del grp[k]
+            # the named-group branch above drops attrs with the group;
+            # a root-group rewrite must clear them too or stale attrs
+            # (old metadata JSON, old nnz/sum) survive onto the new table
+            for k in list(grp.attrs.keys()):
+                del grp.attrs[k]
 
             labels = np.array(self.genome.labels, dtype="S64")
             max_len = max(self.genome.sizes.values(), default=0)
@@ -283,6 +288,14 @@ class CoolerReader:
             self.has_weights = "weight" in g["bins"]
 
     def genome(self, chroms: Sequence[str] = ()) -> Genome:
+        """Genome registry of this cooler's chromosomes.
+
+        NOTE: the registry normalizes labels through its own rules
+        (``chr`` prefixes stripped, karyotype-sorted), which can differ
+        from this FILE's chrom-table order/names (e.g. haplotype
+        M1..P22 coolers, stock ``chr``-prefixed files).  For bin
+        arithmetic against the pixel table use ``self.chromnames`` /
+        ``self.chrom_offset``, which are always file-order."""
         return Genome(self.lengths, chroms or ())
 
     def bins_weight(self, label: str | None = None) -> np.ndarray:

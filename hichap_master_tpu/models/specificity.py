@@ -30,6 +30,16 @@ from .compartment import load_pc_track
 log = get_logger(__name__)
 
 
+def _safe_ttest(a, b):
+    """ttest_rel with degenerate pairings (too few joint nonzeros, zero
+    variance) mapped to p=1.0 — a single NaN p-value propagates through
+    bh_fdr's cumulative minimum and NaNs EVERY q-value in the output."""
+    stat, p = ttest_rel(a, b)
+    if not np.isfinite(p):
+        return np.nan, 1.0
+    return stat, p
+
+
 # ------------------------------------------------------------------ loops
 def single_group_stat(p: float, count: float, nobs: float):
     """One-sample proportion statistic with small-count guards and
@@ -178,7 +188,7 @@ class BoundaryAllelicSpecificity:
                     continue
                 m_mean, p_mean = ms.mean(), ps.mean()
                 ms, ps = self._remove_gap(ms, ps)
-                stat, p = ttest_rel(ms, ps)
+                stat, p = _safe_ttest(ms, ps)
                 info.append((c, bp1, bp2, m_mean, p_mean, stat, p))
                 pvals.append(p)
             else:
@@ -195,13 +205,21 @@ class BoundaryAllelicSpecificity:
                 cands = []
                 if not bad1:
                     a, b_ = self._remove_gap(ms1, ps1)
-                    s, p = ttest_rel(a, b_)
+                    s, p = _safe_ttest(a, b_)
                     cands.append((p, a.mean(), b_.mean(), s))
                 if not bad2:
                     a, b_ = self._remove_gap(ms2, ps2)
-                    s, p = ttest_rel(a, b_)
+                    s, p = _safe_ttest(a, b_)
                     cands.append((p, a.mean(), b_.mean(), s))
-                p, mm, pm, s = min(cands, key=lambda t: t[0])
+                # reference rule: cand1 only when STRICTLY smaller
+                # (AllelicSpecificity.py:370-384); min() kept cand1 on
+                # ties and on NaN comparisons
+                if len(cands) == 2:
+                    chosen = cands[0] if cands[0][0] < cands[1][0] \
+                        else cands[1]
+                else:
+                    chosen = cands[0]
+                p, mm, pm, s = chosen
                 info.append((c, bp1, bp2, mm, pm, s, p))
                 pvals.append(p)
 
@@ -244,20 +262,39 @@ class CompartmentAllelicSpecificity:
             p_cand.append(p[disc])
         m_cand = np.concatenate(m_cand) if m_cand else np.array([])
         p_cand = np.concatenate(p_cand) if p_cand else np.array([])
-        bg = np.sort((m_cand[:, None] - p_cand[None, :]).ravel())
-        nbg = len(bg)
+        nbg = len(m_cand) * len(p_cand)
         log.log(21, "compartment specificity: %d discordant bins, "
                 "%d background pairs", len(m_cand), nbg)
 
+        # rank of each query diff inside the implicit pairwise-difference
+        # background WITHOUT materializing it: #{(i,j): m_i - p_j < d}
+        # = sum_i #{j: p_j > m_i - d}, chunked so memory stays
+        # O(queries x chunk) — the explicit outer product was O(n^2)
+        # floats (0.8 GB at 10k discordant bins, OOM at finer tracks)
+        p_sorted = np.sort(p_cand)
+
+        def _pairs_below(diffs: np.ndarray) -> np.ndarray:
+            out = np.zeros(len(diffs), np.int64)
+            for s in range(0, len(m_cand), 1024):
+                x = m_cand[None, s:s + 1024] - diffs[:, None]
+                out += (len(p_sorted)
+                        - np.searchsorted(p_sorted, x, side="right")).sum(1)
+            return out
+
         info, pvals = [], []
+        queries = []
         for chro, m, p in self._oriented():
             disc = np.flatnonzero(m * p < 0)
             for i in disc:
                 diff = m[i] - p[i]
-                fwd = np.searchsorted(bg, diff, side="left")
-                idx = min(fwd, nbg - fwd)
+                info.append([chro, i * self.res, m[i], p[i], diff])
+                queries.append(diff)
+        if queries:
+            fwd = _pairs_below(np.asarray(queries))
+            for row, f in zip(info, fwd):
+                idx = min(int(f), nbg - int(f))
                 pv = idx / nbg if nbg else 1.0
-                info.append((chro, i * self.res, m[i], p[i], diff, pv))
+                row.append(pv)
                 pvals.append(pv)
         qv = bh_fdr(np.array(pvals)) if pvals else np.array([])
         results = [tuple(list(i) + [q]) for i, q in zip(info, qv)]

@@ -152,8 +152,9 @@ def analysis_train_step(mesh: Mesh):
       2. chromosome-batched two-step correction (chrom-sharded),
       3. genome-wide alpha-corrected VC pass.
 
-    Returns a jitted fn(TM, MM, PM, n_bins, G, alpha) -> (nor_mm, nor_pm,
-    weights, corrected_G) compiled over the mesh.
+    Returns a jitted fn(TM, MM, PM, n_bins, G, alpha, total) ->
+    (nor_mm, nor_pm, weights, corrected_G, di_batch) compiled over the
+    mesh (see __graft_entry__.dryrun_multichip for a worked call).
     """
     b_shard = NamedSharding(mesh, P("chrom", "bins", None))
     n_shard = NamedSharding(mesh, P("chrom"))
