@@ -53,6 +53,27 @@ def test_fastq_chunking_tags_and_counts(tmp_path):
         split_reads(str(bad), str(tmp_path / "chunks2"), 10, 1)
 
 
+def test_fastq_chunk_names_use_mate_parameter(tmp_path):
+    """Chunk suffix comes from the MATE PARAMETER, never the filename's
+    trailing token: _R1/_R2-style inputs broke the downstream
+    ``_chunk{i}_{mate}`` pairing contract, and dot-separated names
+    collided both mates onto one output file (round-3 review find)."""
+    for fname, mate in (("cell_R1.fastq", 1), ("cell_R2.fastq", 2),
+                        ("dotty.1.fastq", 1), ("dotty.2.fastq", 2)):
+        fq = tmp_path / fname
+        with open(fq, "w") as f:
+            for i in range(3):
+                f.write(f"@{fname}read{i}\nACGT\n+\nIIII\n")
+        split_reads(str(fq), str(tmp_path / "chunks3"), 10, mate)
+    names = sorted(os.listdir(tmp_path / "chunks3"))
+    assert names == ["cell_chunk0_1.fastq.gz", "cell_chunk0_2.fastq.gz",
+                     "dotty_chunk0_1.fastq.gz", "dotty_chunk0_2.fastq.gz"]
+    # mate 1 was not overwritten by mate 2
+    first = gzip.open(tmp_path / "chunks3" / "dotty_chunk0_1.fastq.gz",
+                      "rt").readline()
+    assert first.startswith("@dotty.1.fastqread0_1")
+
+
 def test_junction_split_modes():
     site, cut = enzyme_handle("MboI")
     junc = junction_info(site, cut)  # GATCGATC
