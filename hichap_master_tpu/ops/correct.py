@@ -103,14 +103,21 @@ def correct_vc(M: jnp.ndarray, alpha: float = 2.0 / 3.0) -> jnp.ndarray:
     return M / (s1[:, None] * s2[None, :])
 
 
-def _snp_density_alpha(TM, MM, PM, nongap_union, dtype):
-    alpha = (jnp.sum(MM, axis=1) + jnp.sum(PM, axis=1)) / (jnp.sum(TM, axis=1) + 1)
+def _alpha_rule(alpha, nongap, dtype):
+    """Normalize to the non-gap max, zeros → 1, floor at the non-gap 20th
+    percentile (matrixBuilding.py:876-886) — the ONE implementation the
+    intra, genome-wide dense, and margins paths all share."""
     alpha = alpha.astype(dtype)
-    amax = masked_max(alpha, nongap_union)
+    amax = masked_max(alpha, nongap)
     alpha = alpha / jnp.where(amax != 0, amax, 1.0)
     alpha = jnp.where(alpha == 0, 1.0, alpha)
-    thr = masked_percentile(alpha, nongap_union, 20.0)
+    thr = masked_percentile(alpha, nongap, 20.0)
     return jnp.maximum(alpha, thr)
+
+
+def _snp_density_alpha(TM, MM, PM, nongap_union, dtype):
+    alpha = (jnp.sum(MM, axis=1) + jnp.sum(PM, axis=1)) / (jnp.sum(TM, axis=1) + 1)
+    return _alpha_rule(alpha, nongap_union, dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("vc_alpha",))
@@ -146,11 +153,11 @@ def two_step_correction(TM: jnp.ndarray, MM: jnp.ndarray, PM: jnp.ndarray,
     cor_mm = correct_vc(sym_mm, vc_alpha)
     cor_pm = correct_vc(sym_pm, vc_alpha)
 
-    # Rescale so the corrected mean matches the raw mean over the true n x n.
-    area = (n * n).astype(dtype)
+    # Rescale so the corrected mean matches the raw mean over the true
+    # n x n (the means share the same n*n denominator: the ratio of sums
+    # IS the ratio of means, so n never appears).
     mm_rf = jnp.sum(MM) / jnp.maximum(jnp.sum(cor_mm), jnp.finfo(dtype).tiny)
     pm_rf = jnp.sum(PM) / jnp.maximum(jnp.sum(cor_pm), jnp.finfo(dtype).tiny)
-    del area  # means share the same n*n denominator; the ratio cancels it.
 
     return mm_rf * cor_mm, pm_rf * cor_pm, gm, gp
 
@@ -175,12 +182,7 @@ def genomewide_alpha(T_M: jnp.ndarray, M_M: jnp.ndarray, P_P: jnp.ndarray,
     nongap = ~gap & valid
 
     alpha = (jnp.sum(M_M, axis=1) + jnp.sum(P_P, axis=1)) / (jnp.sum(T_M, axis=1) + 1)
-    alpha = alpha.astype(dtype)
-    amax = masked_max(alpha, nongap)
-    alpha = alpha / jnp.where(amax != 0, amax, 1.0)
-    alpha = jnp.where(alpha == 0, 1.0, alpha)
-    thr = masked_percentile(alpha, nongap, 20.0)
-    alpha = jnp.maximum(alpha, thr)
+    alpha = _alpha_rule(alpha, nongap, dtype)
     return jnp.where(valid, alpha, 1.0)
 
 
@@ -204,12 +206,7 @@ def genomewide_alpha_margins(t_rowsum: jnp.ndarray, t_rownnz: jnp.ndarray,
     nongap = ~gap & valid
 
     alpha = (m_rowsum + p_rowsum) / (t_rowsum + 1)
-    alpha = alpha.astype(dtype)
-    amax = masked_max(alpha, nongap)
-    alpha = alpha / jnp.where(amax != 0, amax, 1.0)
-    alpha = jnp.where(alpha == 0, 1.0, alpha)
-    thr = masked_percentile(alpha, nongap, 20.0)
-    alpha = jnp.maximum(alpha, thr)
+    alpha = _alpha_rule(alpha, nongap, dtype)
     return jnp.where(valid, alpha, 1.0)
 
 
@@ -231,5 +228,7 @@ def genomewide_correction(H_M: jnp.ndarray, alpha_full: jnp.ndarray,
     sym = jnp.triu(upper, 1).T + upper
     cor = correct_vc(sym, vc_alpha)
     rf = jnp.sum(H_M) / jnp.maximum(jnp.sum(cor), jnp.finfo(dtype).tiny)
+    # ``total`` stays in the signature for the sharded wrappers and the
+    # driver's dryrun contract; the mean-ratio rescale cancels it.
     del total
     return rf * cor

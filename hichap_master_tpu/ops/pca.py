@@ -49,6 +49,11 @@ def pca_components_subspace(X: jnp.ndarray, n: jnp.ndarray, k: int = 3,
     comps = (Q @ V[:, order]).T
     # Normalize (QR keeps orthonormal, but Ritz rotation preserves it anyway).
     comps = comps / jnp.linalg.norm(comps, axis=1, keepdims=True)
+    # rank(C) < k (degenerate chromosome: fewer non-gap bins than
+    # components): QR fills null-space columns with arbitrary directions
+    # that can leak onto PADDED rows — re-mask so downstream selection
+    # never sees signal outside the valid block
+    comps = comps * valid[None, :]
     return comps, w[order]
 
 

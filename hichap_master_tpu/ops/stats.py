@@ -71,6 +71,11 @@ def poisson_bh_chunked(o: np.ndarray, e: np.ndarray):
     if e.size == 0 or e.max() <= 0:
         return pv, qv
     numbin = int(np.ceil(np.log(e.max()) / np.log(2) * 3 + 1))
+    if numbin < 1:
+        # e.max() <= 2^(-1/3): the reference's lambda_chunks is empty —
+        # every pixel keeps pv = qv = 1 (a negative numbin previously
+        # indexed edges[-2] and crashed)
+        return pv, qv
     edges = lambda_chunk_edges(numbin)          # len numbin + 1
     c = np.digitize(e, edges) - 1               # in [-1, numbin]
     ok = (c >= 0) & (c < numbin)
@@ -128,6 +133,14 @@ def _pava(y: np.ndarray, w: np.ndarray) -> np.ndarray:
     return out
 
 
+def _avg_rank(a: np.ndarray) -> np.ndarray:
+    """Average ranks with ties sharing their group mean (spearmanr)."""
+    _, inv, counts = np.unique(a, return_inverse=True, return_counts=True)
+    cum = np.cumsum(counts)
+    avg = cum - (counts - 1) / 2.0
+    return avg[inv]
+
+
 class IsotonicFit:
     """Monotone regression with sklearn-compatible predict()."""
 
@@ -148,13 +161,24 @@ def isotonic_fit(x: np.ndarray, y: np.ndarray,
     xs, ys = x[order], y[order]
     w = np.ones_like(ys)
     if increasing == "auto":
-        # sklearn's check_increasing: sign of Spearman correlation
-        rx = np.argsort(np.argsort(xs))
-        ry = np.argsort(np.argsort(ys))
-        rho = np.corrcoef(rx, ry)[0, 1]
+        # sklearn's check_increasing: sign of Spearman correlation with
+        # AVERAGE ranks for ties (scipy.spearmanr) — positional
+        # tie-breaking correlated a tied zero tail with x and flipped
+        # sparse decay curves to "increasing", flattening the fit
+        rho = np.corrcoef(_avg_rank(xs), _avg_rank(ys))[0, 1]
         inc = bool(rho >= 0)
     else:
         inc = bool(increasing)
+    # sklearn's _make_unique: duplicate x mean-aggregate (weighted)
+    # BEFORE PAVA — interp over a non-strictly-increasing grid gave
+    # non-sklearn fits for tied x (direction check above runs on the
+    # raw arrays, matching sklearn's order of operations)
+    ux, inv, counts = np.unique(xs, return_inverse=True,
+                                return_counts=True)
+    if len(ux) != len(xs):
+        ys = np.bincount(inv, weights=ys) / counts
+        xs = ux
+        w = counts.astype(float)
     if inc:
         fit = _pava(ys, w)
     else:
