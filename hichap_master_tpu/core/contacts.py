@@ -60,6 +60,11 @@ class ContactBatch:
                   bucket: int = 128,
                   dtype=np.float32) -> "ContactBatch":
         labels = list(labels) if labels is not None else list(matrices.keys())
+        for c in labels:
+            sh = matrices[c].shape
+            if len(sh) != 2 or sh[0] != sh[1]:
+                raise ValueError(
+                    f"ContactBatch needs square matrices; {c!r} is {sh}")
         sizes = [matrices[c].shape[0] for c in labels]
         N = pad_to_bucket(max(sizes), bucket)
         data = np.zeros((len(labels), N, N), dtype=dtype)

@@ -20,7 +20,6 @@ Conventions (matching the reference):
 
 from __future__ import annotations
 
-import io
 import os
 from typing import Dict, Iterable, List, Mapping, Sequence, Tuple
 
@@ -50,16 +49,21 @@ def chrom_check(label: str, chroms: Sequence[str]) -> bool:
 
 def sort_chromosomes(labels: Iterable[str]) -> List[str]:
     """Numeric labels sorted numerically first, then string labels sorted
-    lexically (HiCHap/matrixBuilding.py:388-406)."""
-    nums: List[int] = []
+    lexically (HiCHap/matrixBuilding.py:388-406).
+
+    Labels are returned VERBATIM (stripped of ``chr`` only): the old
+    int() round trip rewrote '01' to '1' (KeyError against the registry)
+    and parsed '1_1' as 11 (silently dropping the scaffold and
+    double-counting chr11's bins)."""
+    nums: List[str] = []
     strs: List[str] = []
     for raw in labels:
         c = strip_chr(raw)
-        try:
-            nums.append(int(c))
-        except ValueError:
+        if c.isdigit():
+            nums.append(c)
+        else:
             strs.append(c)
-    return [str(n) for n in sorted(nums)] + sorted(strs)
+    return sorted(nums, key=int) + sorted(strs)
 
 
 class Genome:
@@ -98,9 +102,6 @@ class Genome:
         g.sizes = {f"{h}{c}": self.sizes[c] for h in "MP" for c in self.labels}
         g.chrom_filter = self.chrom_filter
         return g
-
-    def is_haplotype_registry(self) -> bool:
-        return bool(self.labels) and all(c[0] in "MP" for c in self.labels)
 
     # ---------------------------------------------------------------- bins
     def n_bins(self, label: str, res: int) -> int:

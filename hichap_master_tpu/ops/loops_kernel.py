@@ -13,9 +13,11 @@ offsets relative to the pixel:
                   − peak box [−pw..pw]² (+ its row/col strips back in)
   Y (lower-left)= rows [1..w] × cols [−w..−1]  minus  rows [1..pw] × cols [−pw..−1]
 
-applied to band-limited matrices: raw M keeps diagonals d∈[0, num),
-expected/balanced keep d∈[ww, num); everything outside a band counts zero,
-exactly like the reference's ``sparse.diags`` construction
+applied to band-limited matrices: raw M keeps diagonals d∈(0, num) —
+the reference zeroes the main diagonal before banding
+(``H - np.diag(H.diagonal())``, StructureFind.py:2020) — and
+expected/balanced keep d∈[ww, num); everything outside a band counts
+zero, exactly like the reference's ``sparse.diags`` construction
 (StructureFind.py:2024-2034).
 """
 
@@ -77,24 +79,6 @@ def lowerleft_sums(S: jnp.ndarray, w: int, pw: int) -> jnp.ndarray:
     quad = rect_sum(S, 1, w, -w, -1)
     sub = rect_sum(S, 1, pw, -pw, -1)
     return quad - sub
-
-
-@functools.partial(jax.jit, static_argnames=("w", "pw"))
-def loop_background_level(S_raw: jnp.ndarray, S_exp: jnp.ndarray,
-                          S_bal: jnp.ndarray, w: int, pw: int):
-    """One escalation level: (reads_Y, bS_K, bE_K, bS_Y, bE_Y) full maps.
-
-    reads come from the raw band (escalation test, StructureFind.py:1800-1804);
-    bS from the balanced band, bE from the expected band.
-    """
-    reads = lowerleft_sums(S_raw, w, pw)
-    return (
-        reads,
-        donut_sums(S_bal, w, pw),
-        donut_sums(S_exp, w, pw),
-        lowerleft_sums(S_bal, w, pw),
-        lowerleft_sums(S_exp, w, pw),
-    )
 
 
 # -------------------------------------------------- stable formulation
