@@ -38,11 +38,23 @@ def _build() -> Optional[str]:
     gxx = shutil.which("g++")
     if gxx is None:
         return None
-    cmd = [gxx, "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO]
+    # compile to a per-process temp and os.rename (atomic on POSIX):
+    # spawn-pool workers all hit the first-use build concurrently, and a
+    # worker dlopening a half-written .so would crash instead of falling
+    # back
+    tmp = f"{_SO}.build.{os.getpid()}"
+    cmd = [gxx, "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
-    except subprocess.CalledProcessError as e:
-        log.warning("hicio build failed: %s", e.stderr.decode()[:500])
+        os.replace(tmp, _SO)
+    except (subprocess.CalledProcessError, OSError) as e:
+        err = getattr(e, "stderr", b"")
+        log.warning("hicio build failed: %s",
+                    err.decode()[:500] if err else repr(e))
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return None
     return _SO
 
@@ -56,7 +68,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if so is None:
         log.warning("native hicio unavailable; using Python fallbacks")
         return None
-    lib = ctypes.CDLL(so)
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError as e:  # torn/incompatible .so: fall back, don't crash
+        log.warning("hicio load failed (%s); using Python fallbacks", e)
+        return None
     lib.hicio_sort_file.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                     ctypes.c_int]
     lib.hicio_sort_file.restype = ctypes.c_int
@@ -294,7 +310,10 @@ def sort_file(in_path: str, out_path: str, mode: str = "name") -> None:
             return
         log.warning("hicio_sort_file rc=%d; Python fallback", rc)
     with open(in_path) as f:
-        lines = f.readlines()
+        # normalize like the native getline path: a truncated final line
+        # without its newline would otherwise concatenate with the next
+        # record in the sorted output
+        lines = [ln if ln.endswith("\n") else ln + "\n" for ln in f]
     if mode == "name":
         lines.sort()
     else:
@@ -305,6 +324,11 @@ def sort_file(in_path: str, out_path: str, mode: str = "name") -> None:
 
 def merge_sorted(paths: Sequence[str], out_path: str,
                  mode: str = "name") -> None:
+    for p in paths:
+        if not os.path.exists(p):
+            # the native merge treats an unopenable stream as EMPTY and
+            # would silently drop that run's records
+            raise FileNotFoundError(p)
     lib = get_lib()
     if lib is not None:
         arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
@@ -318,7 +342,7 @@ def merge_sorted(paths: Sequence[str], out_path: str,
     files = [open(p) for p in paths]
     with open(out_path, "w") as out:
         for line in heapq.merge(*files, key=key):
-            out.write(line)
+            out.write(line if line.endswith("\n") else line + "\n")
     for f in files:
         f.close()
 
@@ -338,7 +362,8 @@ def sam_sort_merge(paths: Sequence[str], out_path: str) -> None:
     lines: List[str] = []
     for p in paths:
         with open(p) as f:
-            lines.extend(l for l in f if l and l[0] != "@")
+            lines.extend((l if l.endswith("\n") else l + "\n")
+                         for l in f if l and l[0] != "@")
     lines.sort(key=lambda l: l.split("\t", 1)[0])
     with open(out_path, "w") as out:
         out.writelines(lines)

@@ -169,7 +169,10 @@ def escalation_pallas(D_raw, D_bal, D_exp, e_pix, x_pix, valid,
     """
     E, Xp = D_raw.shape
     n_levels = maxww - ww + 1
-    assert n_levels <= 128
+    # strictly below the sentinel: a 128-level ladder's last index would
+    # collide with _UNRESOLVED (127) and report final-level pixels
+    # unresolved
+    assert n_levels < 128
 
     W_raw = anti_diagonal_prefix(D_raw)
     W_bal = anti_diagonal_prefix(D_bal)

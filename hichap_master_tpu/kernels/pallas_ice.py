@@ -53,8 +53,16 @@ def _sweep_kernel(m_ref, b_in_ref, b_out_ref, stat_ref, marg_ref, b_ref,
     # stays f32 in VMEM).
     col0 = j * TILE_C
     bcol = b_ref[0, pl.ds(col0, TILE_C)].reshape(-1, 1)
+    # precision=HIGHEST: Mosaic's DEFAULT contracts f32 inputs at bf16
+    # MXU precision, the exact condition ops/balance.py documents as
+    # stalling the var<1e-5 convergence test — request fp32 contraction
+    # for f32 tiles; bf16 tiles (fast mode) still use the native
+    # bf16 x bf16 -> f32 mode.
     part = jnp.dot(m_ref[:], bcol.astype(m_ref.dtype),
-                   preferred_element_type=jnp.float32).reshape(1, -1)
+                   preferred_element_type=jnp.float32,
+                   precision=(jax.lax.Precision.HIGHEST
+                              if m_ref.dtype == jnp.float32
+                              else jax.lax.Precision.DEFAULT)).reshape(1, -1)
 
     @pl.when(j == 0)
     def _():

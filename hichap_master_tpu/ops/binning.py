@@ -39,6 +39,10 @@ def bin_genomewide(acc: jnp.ndarray, c1: jnp.ndarray, p1: jnp.ndarray,
     ci2 = jnp.clip(c2, 0, offsets.shape[0] - 1)
     b1 = p1 // res + offsets[ci1]
     b2 = p2 // res + offsets[ci2]
+    # negative bins (malformed negative positions) would WRAP NumPy-style
+    # into the previous chromosome's tail — only >= S indices drop; treat
+    # them as invalid like the sparse host accumulator does
+    valid = valid & (b1 >= 0) & (b2 >= 0)
     # Invalid rows scatter zero at (0, 0).
     b1 = jnp.where(valid, b1, 0)
     b2 = jnp.where(valid, b2, 0)
@@ -54,6 +58,7 @@ def bin_genomewide_bins(acc: jnp.ndarray, b1: jnp.ndarray, b2: jnp.ndarray,
     """``bin_genomewide`` from precomputed genome-wide bins (symmetric
     increment, diagonal once).  Used by the streaming haplotype builder
     where the two sides carry distinct offset tables (M/P halves)."""
+    valid = valid & (b1 >= 0) & (b2 >= 0)  # no NumPy-style negative wrap
     b1 = jnp.where(valid, b1, 0)
     b2 = jnp.where(valid, b2, 0)
     inc = valid.astype(acc.dtype)
@@ -68,6 +73,7 @@ def bin_genomewide_single_triangle_bins(acc: jnp.ndarray, r: jnp.ndarray,
                                         valid: jnp.ndarray) -> jnp.ndarray:
     """Literal single-triangle (row, col) increments from precomputed bins
     (the haplotype single-side rule, matrixBuilding.py:1295-1301)."""
+    valid = valid & (r >= 0) & (c >= 0)  # no NumPy-style negative wrap
     r = jnp.where(valid, r, 0)
     c = jnp.where(valid, c, 0)
     return acc.at[r, c].add(valid.astype(acc.dtype))
@@ -78,7 +84,7 @@ def bin_intra(acc: jnp.ndarray, c1: jnp.ndarray, p1: jnp.ndarray,
               c2: jnp.ndarray, p2: jnp.ndarray, valid: jnp.ndarray,
               res: int) -> jnp.ndarray:
     """Accumulate intra-chromosome contacts into the [C, N, N] batch."""
-    intra = valid & (c1 == c2)
+    intra = valid & (c1 == c2) & (p1 >= 0) & (p2 >= 0)
     ci = jnp.where(intra, c1, 0)
     b1 = jnp.where(intra, p1 // res, 0)
     b2 = jnp.where(intra, p2 // res, 0)
@@ -95,7 +101,7 @@ def bin_intra_single_side(acc: jnp.ndarray, c1: jnp.ndarray, p1: jnp.ndarray,
     """Single-side (R1/R2-tagged) intra contacts: R1 adds to [b1, b2] only,
     R2 to [b2, b1] only (matrixBuilding.py:1295-1301) — one triangle each;
     symmetrization happens later in the correction step."""
-    intra = valid & (c1 == c2)
+    intra = valid & (c1 == c2) & (p1 >= 0) & (p2 >= 0)
     ci = jnp.where(intra, c1, 0)
     b1 = jnp.where(intra, p1 // res, 0)
     b2 = jnp.where(intra, p2 // res, 0)

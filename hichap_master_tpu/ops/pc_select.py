@@ -15,7 +15,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .masked import masked_mean
 
 
 def _means_minus(cor: jnp.ndarray, pc: jnp.ndarray, valid: jnp.ndarray,
@@ -86,6 +85,5 @@ def select_pc_new_device(cor: jnp.ndarray, oe_ng: jnp.ndarray,
     scores = jax.vmap(lambda pc: _means_minus(cor, pc, valid))(pcs)
     best = jnp.argmax(jnp.where(scores > 0, scores, 0.0))
     # reference keeps index 0 when every score is <= 0
-    best = jnp.where(jnp.max(scores) > 0, best, 0)
     pc = pcs[best]
     return _orient_ab(oe_ng, pc, valid)
