@@ -57,6 +57,9 @@ class HybridGW:
     bounds: np.ndarray    # [N+1] int32 into the sorted pixel arrays
     sc_nnz: np.ndarray    # [N] f32, scattered nonzero count per row
     n: int
+    # the diagonal-exclusion rule the scattered part was BUILT with; the
+    # balance must use the same value (tiles apply it on device)
+    ignore_diags: int = 1
 
     @property
     def P(self) -> int:
@@ -95,7 +98,8 @@ def hybrid_from_coo(rows, cols, vals, n: int, T: int = 128,
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
     vals = np.asarray(vals)
-    if (np.issubdtype(vals.dtype, np.integer)
+    if (assume_unique  # duplicates ACCUMULATE: a u16 sum could wrap
+            and np.issubdtype(vals.dtype, np.integer)
             and (vals.size == 0 or vals.max(initial=0) <= 0xFFFF)
             and (vals.size == 0 or vals.min(initial=0) >= 0)):
         dtype = np.uint16
@@ -172,7 +176,7 @@ def hybrid_from_coo(rows, cols, vals, n: int, T: int = 128,
     sc_cols[: dc.size] = dc
     sc_vals[: dv.size] = dv
     return HybridGW(bm=bm, sc_cols=sc_cols, sc_vals=sc_vals, bounds=bounds,
-                    sc_nnz=sc_nnz, n=n)
+                    sc_nnz=sc_nnz, n=n, ignore_diags=ignore_diags)
 
 
 # ------------------------------------------------ compensated prefix sums
@@ -355,7 +359,17 @@ def hybrid_ice_balance(tiles, brow, bcol, sc_cols, sc_vals, bounds, sc_nnz,
 
 
 def ice_balance_hybrid(h: HybridGW, **kw):
-    """Convenience wrapper; returns (weights[:n], stats)."""
+    """Convenience wrapper; returns (weights[:n], stats).
+
+    ``ignore_diags`` must match the value the layout was BUILT with: the
+    scattered part applies it at build time, the tiles on device — a
+    mismatch would silently mix two diagonal-exclusion rules."""
+    want = kw.get("ignore_diags", h.ignore_diags)
+    if want != h.ignore_diags:
+        raise ValueError(
+            f"hybrid layout built with ignore_diags={h.ignore_diags}; "
+            f"rebuild it to balance with ignore_diags={want}")
+    kw.setdefault("ignore_diags", h.ignore_diags)
     bm = h.bm
     N = bm.R * bm.T
     bounds = np.full(N + 1, h.bounds[-1], np.int32)

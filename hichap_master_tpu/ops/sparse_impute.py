@@ -113,7 +113,7 @@ def lex_searchsorted(srows: jnp.ndarray, scols: jnp.ndarray,
 
     def body(_, lohi):
         lo, hi = lohi
-        mid = (lo + hi) >> 1
+        mid = lo + ((hi - lo) >> 1)  # (lo+hi) wraps int32 past 2^30 nnz
         midc = jnp.minimum(mid, nnz - 1)
         r = srows[midc]
         c = scols[midc]

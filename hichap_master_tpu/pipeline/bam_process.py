@@ -46,12 +46,31 @@ def get_chunks(path: str,
     return chunks, num + 1, cell
 
 
+# per-process caches: each spawn worker runs MANY chunk jobs, and the
+# fragment table (~millions of lines) / SNP npz are identical across
+# them — the reference loads once in its forked parent
+_FRAG_CACHE: Dict[str, object] = {}
+_SNP_CACHE: Dict[str, object] = {}
+
+
+def _cached_fragments(path: str):
+    if path not in _FRAG_CACHE:
+        _FRAG_CACHE[path] = load_fragments(path)
+    return _FRAG_CACHE[path]
+
+
+def _cached_snps(path: str):
+    if path not in _SNP_CACHE:
+        _SNP_CACHE[path] = load_snps(path)
+    return _SNP_CACHE[path]
+
+
 def integrate_chunk(aln_files: Sequence[str], out_bed: str, frag_path: str,
                     snp_path: Optional[str], allelic: str, level: int,
                     read_len: int = 150) -> Tuple[int, int, int]:
     """One chunk × one haplotype: resolve pairs, write bed, return stats."""
-    frags = load_fragments(frag_path)
-    snps = load_snps(snp_path) if snp_path else None
+    frags = _cached_fragments(frag_path)
+    snps = _cached_snps(snp_path) if snp_path else None
     resolver = PairResolver(frags, snps, allelic, level, read_len)
     total = unmapped = multi = 0
     with open(out_bed, "w") as out:
@@ -113,24 +132,36 @@ def bam_extract(aln_dir: str, re_dir: str, out_dir: str,
             out_bed = os.path.join(out_dir, f"{cell}_chunk{i}.bed")
             jobs.append((files, out_bed, frag_paths[0], None, ""))
 
-    stats = [0, 0, 0]
+    by_tag: Dict[str, List[int]] = {}
     if threads > 1:
         with ProcessPoolExecutor(threads, mp_context=_mp_ctx()) as ex:
-            futs = [ex.submit(integrate_chunk, f, o, fr, sp, tg, level,
-                              read_len) for f, o, fr, sp, tg in jobs]
-            for fu in futs:
-                t, u, m = fu.result()
-                stats[0] += t; stats[1] += u; stats[2] += m
+            futs = [(tg, ex.submit(integrate_chunk, f, o, fr, sp, tg, level,
+                                   read_len)) for f, o, fr, sp, tg in jobs]
+            results = [(tg, fu.result()) for tg, fu in futs]
     else:
-        for f, o, fr, sp, tg in jobs:
-            t, u, m = integrate_chunk(f, o, fr, sp, tg, level, read_len)
-            stats[0] += t; stats[1] += u; stats[2] += m
+        results = [(tg, integrate_chunk(f, o, fr, sp, tg, level, read_len))
+                   for f, o, fr, sp, tg in jobs]
+    for tg, (t, u, m) in results:
+        acc = by_tag.setdefault(tg, [0, 0, 0])
+        acc[0] += t; acc[1] += u; acc[2] += m
 
-    report = {
-        "Total_pairs": stats[0],
-        "Unmapped_pairs": stats[1],
-        "Multiple_pairs": stats[2],
-        "Unique_pairs": stats[0] - stats[1] - stats[2],
-    }
+    def _block(stats):
+        return {
+            "Total_pairs": stats[0],
+            "Unmapped_pairs": stats[1],
+            "Multiple_pairs": stats[2],
+            "Unique_pairs": stats[0] - stats[1] - stats[2],
+        }
+
+    if allelic:
+        # per-genome blocks like the reference's separate Maternal /
+        # Paternal Mapping Statics (bamProcess.py:1658-1671) — a merged
+        # total double-counted every pair (each resolves against BOTH
+        # parental genomes)
+        report: Dict[str, Dict[str, int]] = {
+            tg: _block(st) for tg, st in sorted(by_tag.items())}
+        log.log(21, "bamProcess stats: %s", report)
+        return report
+    report = _block(by_tag.get("", [0, 0, 0]))
     log.log(21, "bamProcess stats: %s", report)
     return report

@@ -109,8 +109,12 @@ def test_diploid_pipeline_end_to_end(tmp_path, rng):
                          [out["Maternal_fragments"],
                           out["Paternal_fragments"]],
                          snp_npz, allelic=True, read_len=READ_LEN)
-    assert report["Unique_pairs"] > 100
-    assert report["Total_pairs"] >= 300  # 2 genomes x 300 pairs, minus merges
+    # per-genome blocks like the reference's separate Maternal/Paternal
+    # Mapping Statics (a merged total double-counted every pair)
+    assert set(report) == {"Maternal", "Paternal"}
+    for tag in ("Maternal", "Paternal"):
+        assert report[tag]["Unique_pairs"] > 50
+        assert report[tag]["Total_pairs"] >= 150
 
     # --- filtering ----------------------------------------------------------
     filt_dir = ws / "Filtered_Bed"

@@ -87,10 +87,18 @@ def test_hybrid_uint16_storage_matches_f32(rng):
     n = 300
     M = _mixed_matrix(rng, n)
     r, c, v = _upper_coo(M)
-    h16 = hybrid_from_coo(r, c, v.astype(np.int32), n, T=64, min_tile_occ=64)
+    # uint16 storage requires assume_unique: duplicate pixels ACCUMULATE
+    # and a u16 sum could wrap (review find) — without the flag integer
+    # counts stay in float storage
+    h_dup = hybrid_from_coo(r, c, v.astype(np.int32), n, T=64,
+                            min_tile_occ=64)
+    assert h_dup.bm.tiles.dtype == np.float32
+    h16 = hybrid_from_coo(r, c, v.astype(np.int32), n, T=64, min_tile_occ=64,
+                          assume_unique=True)
     assert h16.bm.tiles.dtype == np.uint16
     assert h16.sc_vals.dtype == np.uint16
-    h32 = hybrid_from_coo(r, c, v, n, T=64, min_tile_occ=64)
+    h32 = hybrid_from_coo(r, c, v, n, T=64, min_tile_occ=64,
+                          assume_unique=True)
     assert h32.bm.tiles.dtype == np.float32
     w16, _ = ice_balance_hybrid(h16, max_iters=60, tol=0.0)
     w32, _ = ice_balance_hybrid(h32, max_iters=60, tol=0.0)
