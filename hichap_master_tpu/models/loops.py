@@ -48,6 +48,26 @@ from .compartment import _proper_unit
 log = get_logger(__name__)
 
 
+def _phase_on() -> bool:
+    """``HICHAP_LOOP_PHASE_TIMING=1`` turns on per-phase walls for the
+    pcaller (prep / upload / escalate / post), recorded via
+    utils.profiling as ``loops.phase.*``.  The upload phase BLOCKS on the
+    host→device transfers so a diagnostic run can split the link share
+    (a tunnel artifact in this environment, ~0.1 s on a PCIe host) from
+    device compute; leave it off for timed production runs."""
+    return os.environ.get("HICHAP_LOOP_PHASE_TIMING") == "1"
+
+
+def _phase(name: str):
+    import contextlib
+
+    from ..utils.profiling import stage
+
+    if _phase_on():
+        return stage("loops.phase." + name)
+    return contextlib.nullcontext()
+
+
 def peaks_parameters(res: int):
     """Resolution-scaled widths (StructureFind.py:1575-1617)."""
     if res >= 20000:
@@ -405,26 +425,40 @@ def _packed_inputs_batch(prs: List[dict]):
     rows = np.stack([pr["br"] for pr in prs])
     if rows.dtype not in (np.uint16, np.int32):  # mixed-narrowness group
         rows = rows.astype(np.int32)
-    rows = jnp.asarray(rows)
-    ds = jnp.asarray(np.stack([pr["bd"] for pr in prs]))
+    ds_h = np.stack([pr["bd"] for pr in prs])
     bvs = np.stack([pr["bv"] for pr in prs])
     if bvs.dtype not in (np.uint16, np.float32):  # np promotion to f64
         bvs = bvs.astype(np.float32)
-    bvs = jnp.asarray(bvs)
     maxn = max(pr["n"] for pr in prs)
     w = np.ones((len(prs), maxn), np.float32)
     for i, pr in enumerate(prs):
         w[i, : len(pr["w32"])] = pr["w32"]
+    pE_h = np.stack([pr["predictE"] for pr in prs])
+    keeps_h = (np.stack([pr["band_keep"] for pr in prs])
+               if pr0.get("band_keep") is not None else None)
+    hosts = [rows, ds_h, bvs, w, pE_h]
+    if keeps_h is not None:
+        hosts.append(keeps_h)
+    if _phase_on():
+        from ..utils.profiling import add as _madd
+
+        _madd("loops.phase.upload_mb",
+              sum(a.nbytes for a in hosts) / 2**20)
+        with _phase("upload"):
+            devs = [jax.device_put(a) for a in hosts]
+            jax.block_until_ready(devs)
+    else:
+        devs = [jnp.asarray(a) for a in hosts]
+    rows, ds, bvs, w_d, pE = devs[:5]
+    keeps = devs[5] if keeps_h is not None else None
     D_raw, D_bal = pack_raw_bal_batch(
-        rows, ds, bvs, jnp.asarray(w), B=pr0["num"], Xp=pr0["Xp"],
+        rows, ds, bvs, w_d, B=pr0["num"], Xp=pr0["Xp"],
         e_lo=pr0["e_lo"], x_pad=pr0["x_pad"], ww=pr0["ww"])
-    pE = jnp.asarray(np.stack([pr["predictE"] for pr in prs]))
     ns = jnp.asarray(np.asarray([pr["n"] for pr in prs], np.int32))
     D_exp = _pack_expected_batch(pE, ns, pr0["num"], pr0["Xp"],
                                  pr0["e_lo"], pr0["x_pad"], pr0["ww"])
     npix = jnp.asarray(np.asarray([pr["npix"] for pr in prs], np.int32))
-    if pr0.get("band_keep") is not None:
-        keeps = jnp.asarray(np.stack([pr["band_keep"] for pr in prs]))
+    if keeps is not None:
         ep, xp_, vp = derive_pixels_masked_batch(
             rows, ds, keeps, npix, ww=pr0["ww"], dmax=pr0["dmax"],
             P2=pr0["P2"])
@@ -521,11 +555,13 @@ def pcaller_multi(inputs: dict, res: int, params, allelic: bool = False,
 
     gaps = gaps or {}
     preps, groups = {}, {}
-    for chro, (rows, cols, vals, wt, n) in inputs.items():
-        pr = _pcaller_prep(rows, cols, vals, wt, n, res, params,
-                           allelic=allelic, gap=gaps.get(chro))
-        preps[chro] = pr
-        groups.setdefault((pr["Xp"], pr["cap"], pr["P2"]), []).append(chro)
+    with _phase("prep"):
+        for chro, (rows, cols, vals, wt, n) in inputs.items():
+            pr = _pcaller_prep(rows, cols, vals, wt, n, res, params,
+                               allelic=allelic, gap=gaps.get(chro))
+            preps[chro] = pr
+            groups.setdefault((pr["Xp"], pr["cap"], pr["P2"]),
+                              []).append(chro)
 
     results = {}
     for _key, chros in groups.items():
@@ -536,11 +572,16 @@ def pcaller_multi(inputs: dict, res: int, params, allelic: bool = False,
             D_raw, D_bal, D_exp, epad, xpad, vpad,
             pr0["ww"], pr0["maxww"], pr0["pw"], pr0["num"],
             pr0["e_lo"], pr0["x_pad"])
+        if _phase_on():
+            with _phase("escalate"):
+                jax.block_until_ready((resolved, bsk, bek, bsy, bey))
         if _use_device_post(pr0):
             # everything stays on device; one batched post per group and
             # one host fetch of compacted survivors
-            got = _post_device_batch(prs, chros, resolved, bsk, bek, bsy,
-                                     bey, res, (epad, xpad, vpad, D_raw))
+            with _phase("post"):
+                got = _post_device_batch(prs, chros, resolved, bsk, bek,
+                                         bsy, bey, res,
+                                         (epad, xpad, vpad, D_raw))
             for i, chro in enumerate(chros):
                 r = got[chro]
                 if r is None:  # compaction overflow: host path, this chrom

@@ -32,6 +32,11 @@ def stage(name: str):
         log.log(21, "stage %-28s %8.2f s", name, dt)
 
 
+def add(name: str, value: float) -> None:
+    """Accumulate a scalar metric (e.g. bytes moved) outside a timed stage."""
+    _METRICS[name] = _METRICS.get(name, 0.0) + value
+
+
 def metrics() -> Dict[str, float]:
     return dict(_METRICS)
 

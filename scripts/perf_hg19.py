@@ -245,6 +245,9 @@ def main():
               f"band pixels over {len(inputs)} chroms", flush=True)
 
         def _loops():
+            from hichap_master_tpu.utils.profiling import reset_metrics
+
+            reset_metrics()  # phase walls (if enabled) = last run only
             results = pcaller_multi(inputs, RES_LOOP, params)
             return sum(len(d) for d, _ in results.values())
 
@@ -252,6 +255,15 @@ def main():
                            "loops_10kb_s", _loops)
         total += w
         print(f"loops found: {n_peaks}", flush=True)
+        # HICHAP_LOOP_PHASE_TIMING=1 records the device-vs-link split of
+        # the warm loops run (prep/upload/escalate/post); the upload phase
+        # is the tunnel share (~0.1 s on a PCIe host for the same bytes)
+        from hichap_master_tpu.utils.profiling import metrics
+        ph = {k.split(".")[-1]: round(v, 2) for k, v in metrics().items()
+              if k.startswith("loops.phase")}
+        if ph:
+            RESULTS["loops_phases"] = ph
+            print(f"loop phases (warm): {json.dumps(ph)}", flush=True)
 
     RESULTS["total_s"] = round(total, 1)
     RESULTS["chroms"] = len(CHROMS)

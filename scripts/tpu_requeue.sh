@@ -1,13 +1,14 @@
 #!/bin/bash
-# TPU work queue for when the tunnel returns (it died ~19:50 on 17 Aug).
-# Run UNATTENDED with no timeouts (loop-stage compile debt can be 25-60+
-# min if the remote compile cache was lost with the server):
+# TPU measurement campaign (round 3). Run UNATTENDED with no timeouts
+# (loop-stage compile debt can be 25-60+ min if the remote compile cache
+# was lost with the server):
 #
 #   nohup bash scripts/tpu_requeue.sh > /tmp/tpu_requeue.log 2>&1 &
 #
-# Order: warmup (pays all compile debt) -> 5 median samples -> TRUE e2e
-# re-run on the chip -> bench sanity. One TPU process at a time; nothing
-# else may run on the host while samples are being timed.
+# Order: warmup (pays all compile debt) -> 5 median samples -> loops
+# phase breakdown (device-vs-link split) -> TRUE e2e on the chip ->
+# bench sanity. One TPU process at a time; nothing else may run on the
+# host while samples are being timed.
 set -u
 cd /root/repo
 
@@ -52,8 +53,12 @@ if len(ts) >= 3:
     print("median recorded:", rec["median_total_s"])
 EOF
 
-log "=== TRUE e2e on the chip (reuse bed) ==="
-PERF_E2E_BED=/tmp/perf_e2e_oruh8apx/rep1 python scripts/perf_e2e.py
+log "=== loops phase breakdown (device vs link) ==="
+PERF_ONLY=loops HICHAP_LOOP_PHASE_TIMING=1 python scripts/perf_hg19.py \
+    2>&1 | tee /tmp/perf_hg19_phases.log | grep -E "loop phases|loops "
+
+log "=== TRUE e2e on the chip (bed regenerated; ~13 min untimed setup) ==="
+python scripts/perf_e2e.py
 log "e2e rc=$?"
 
 log "=== bench sanity ==="
