@@ -61,6 +61,10 @@ log "=== TRUE e2e on the chip (bed regenerated; ~13 min untimed setup) ==="
 python scripts/perf_e2e.py
 log "e2e rc=$?"
 
+log "=== TRUE diploid e2e on the chip ==="
+python scripts/perf_e2e_hap.py
+log "hap e2e rc=$?"
+
 log "=== bench sanity ==="
 python bench.py
 log "ALL DONE"
