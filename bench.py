@@ -137,12 +137,22 @@ def sparse_genomewide_extras() -> dict:
         return np.asarray(w), int(np.asarray(st["iters"]))
 
     run()  # warm
-    t0 = time.perf_counter()
-    _, it = run()
-    dt = time.perf_counter() - t0
-    rate = it / dt
+    # VERDICT r3: a single sample cannot separate tunnel noise from
+    # regression — report the median of >= 3 timed samples with dispersion.
+    rates = []
+    for _ in range(int(os.environ.get("BENCH_SAMPLES", "3"))):
+        t0 = time.perf_counter()
+        _, it = run()
+        dt = time.perf_counter() - t0
+        rates.append(it / dt)
+    rates.sort()
+    rate = rates[len(rates) // 2] if len(rates) % 2 else (
+        (rates[len(rates) // 2 - 1] + rates[len(rates) // 2]) / 2)
     return {
         "sparse_genomewide_ice_iters_per_sec_10kb_hg19": round(rate, 2),
+        "sparse_genomewide_ice_samples": [round(r, 2) for r in rates],
+        "sparse_genomewide_ice_min_max": [round(rates[0], 2),
+                                          round(rates[-1], 2)],
         "sparse_genomewide_bins": n,
         "sparse_genomewide_dense_gb": round(n * n * 4 / 2**30, 1),
         "sparse_vs_cpu_pinned": round(
@@ -285,6 +295,10 @@ def main():
                 ex["hg19_e2e_parse_only_s"] = rj.get("parse_only_s")
                 if rj.get("backend"):
                     ex["hg19_e2e_backend"] = rj.get("backend")
+                if rj.get("median_total_s") is not None:
+                    # median of >= 3 on-chip runs (campaign-aggregated)
+                    ex["hg19_e2e_median_s"] = rj.get("median_total_s")
+                    ex["hg19_e2e_samples"] = rj.get("sample_totals_s")
         except Exception:
             pass
     # .perf_filtering.json — filtering stage at scale (perf_filtering.py)
@@ -320,6 +334,10 @@ def main():
                 ex = out.setdefault("extras", {})
                 ex["hg19_hap_e2e_s"] = rj.get("total_s")
                 ex["hg19_hap_e2e_pairs"] = rj.get("pairs")
+                if rj.get("backend"):
+                    ex["hg19_hap_e2e_backend"] = rj.get("backend")
+                if rj.get("sample_totals_s"):
+                    ex["hg19_hap_e2e_samples"] = rj.get("sample_totals_s")
         except Exception:
             pass
     print(json.dumps(out))

@@ -465,6 +465,12 @@ def _packed_inputs_batch(prs: List[dict]):
     else:
         ep, xp_, vp = derive_pixels_batch(rows, ds, npix, ww=pr0["ww"],
                                           dmax=pr0["dmax"], P2=pr0["P2"])
+    if _phase_on():
+        # attribute the packing kernels (pack_raw_bal / pack_expected /
+        # derive_pixels) to their own phase instead of letting their device
+        # time book under the next sync point ('escalate')
+        with _phase("pack"):
+            jax.block_until_ready((D_raw, D_bal, D_exp, ep, xp_, vp))
     return D_raw, D_bal, D_exp, ep, xp_, vp
 
 

@@ -41,8 +41,15 @@ def metrics() -> Dict[str, float]:
     return dict(_METRICS)
 
 
-def reset_metrics() -> None:
-    _METRICS.clear()
+def reset_metrics(prefix: Optional[str] = None) -> None:
+    """Clear accumulated metrics; with ``prefix``, clear only matching keys
+    (so a caller measuring one stage doesn't drop the rest of the run's
+    accumulators)."""
+    if prefix is None:
+        _METRICS.clear()
+        return
+    for k in [k for k in _METRICS if k.startswith(prefix)]:
+        del _METRICS[k]
 
 
 def dump_metrics(path: str) -> None:

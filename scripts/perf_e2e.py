@@ -130,8 +130,8 @@ def main():
     # PERF_E2E_BED reuses a previously generated replicate dir (generation
     # is ~13 min of untimed setup at full scale)
     rep = os.environ.get("PERF_E2E_BED") or os.path.join(tmp, "rep1")
-    if os.environ.get("PERF_E2E_BED"):
-        bed = os.path.join(rep, "E2E_R1_Valid.bed")
+    bed = os.path.join(rep, "E2E_R1_Valid.bed")
+    if os.path.exists(bed):
         print(f"reusing {bed} ({os.path.getsize(bed)/2**30:.2f} GB)",
               flush=True)
     else:

@@ -114,7 +114,11 @@ def main():
     from hichap_master_tpu.utils import profiling
 
     rep = os.environ.get("PERF_HAP_BED")
-    if not rep or not os.path.isdir(rep):
+    if rep and not os.path.exists(os.path.join(rep, "genomeSize")):
+        # fixed reuse dir named but not yet populated: generate into it
+        log(f"generating allelic beds (untimed) → {rep}")
+        generate_beds(rep)
+    elif not rep or not os.path.isdir(rep):
         base = tempfile.mkdtemp(prefix="perf_hap_")
         rep = os.path.join(base, "rep1")
         log(f"generating allelic beds (untimed) → {rep}")
@@ -142,6 +146,7 @@ def main():
         f"({total_rows/1e6:.1f}M pairs → {cool_gb:.2f} GB coolers)")
     rec = {"total_s": round(total, 1), "pairs": total_rows,
            "div": DIV, "coolers_gb": round(cool_gb, 2),
+           "backend": jax.default_backend(),
            **{k: round(v, 1) for k, v in walls.items()}}
     with open(os.path.join(_REPO, ".perf_e2e_hap.json"), "w") as f:
         json.dump(rec, f)

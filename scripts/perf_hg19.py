@@ -247,7 +247,9 @@ def main():
         def _loops():
             from hichap_master_tpu.utils.profiling import reset_metrics
 
-            reset_metrics()  # phase walls (if enabled) = last run only
+            # phase walls (if enabled) = last run only; scope the reset to
+            # loops.phase.* so earlier stages' accumulators survive
+            reset_metrics(prefix="loops.phase")
             results = pcaller_multi(inputs, RES_LOOP, params)
             return sum(len(d) for d, _ in results.values())
 

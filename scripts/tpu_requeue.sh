@@ -55,7 +55,9 @@ EOF
 
 log "=== loops phase breakdown (device vs link) ==="
 PERF_ONLY=loops HICHAP_LOOP_PHASE_TIMING=1 python scripts/perf_hg19.py \
-    2>&1 | tee /tmp/perf_hg19_phases.log | grep -E "loop phases|loops "
+    > /tmp/perf_hg19_phases.log 2>&1
+log "phases rc=$? (full output in /tmp/perf_hg19_phases.log)"
+grep -E "loop phases|loops " /tmp/perf_hg19_phases.log
 
 log "=== TRUE e2e on the chip (bed regenerated; ~13 min untimed setup) ==="
 python scripts/perf_e2e.py

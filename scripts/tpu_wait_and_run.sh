@@ -1,9 +1,10 @@
 #!/bin/bash
-# Poll the TPU tunnel until real compute succeeds, then launch the
-# round-3 measurement campaign (scripts/tpu_requeue.sh). Run detached:
+# Poll the TPU tunnel until real compute succeeds TWICE in a row (a
+# flapping tunnel must not trigger a doomed multi-hour campaign), then
+# launch the round-4 measurement campaign. Run detached:
 #   nohup bash scripts/tpu_wait_and_run.sh > /tmp/tpu_wait.log 2>&1 &
 set -u
-cd /root/repo
+cd "$(dirname "$0")/.."
 
 log() { echo "[$(date +%H:%M:%S)] $*"; }
 
@@ -16,10 +17,21 @@ EOF
 
 log "waiting for TPU compute to come back..."
 n=0
-until probe; do
-    n=$((n + 1))
-    log "probe $n failed (compute hangs or tunnel down); sleeping 5 min"
-    sleep 300
+ok=0
+while [ $ok -lt 2 ]; do
+    if probe; then
+        ok=$((ok + 1))
+        log "probe OK ($ok/2 consecutive)"
+        [ $ok -lt 2 ] && sleep 60
+    else
+        ok=0
+        n=$((n + 1))
+        log "probe $n failed (compute hangs or tunnel down); sleeping 5 min"
+        if [ $n -ge 72 ]; then
+            log "WARNING: $n failed probes (~6 h) — still waiting"
+        fi
+        sleep 300
+    fi
 done
 log "TPU compute OK after $n failed probes — launching campaign"
-bash scripts/tpu_requeue.sh
+bash scripts/tpu_campaign_r4.sh
