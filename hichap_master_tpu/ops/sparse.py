@@ -175,7 +175,17 @@ def block_sym_matvec(tiles: jnp.ndarray, brow: jnp.ndarray,
     bfloat16 tiles (the ``fast`` balancing mode) contract with bf16 inputs
     and float32 accumulation — halves the per-iteration HBM traffic the
     matvec is bound by; f32 tiles use HIGHEST precision (the ICE
-    convergence test sits near the bf16-MXU noise floor)."""
+    convergence test sits near the bf16-MXU noise floor).
+
+    reduce="pallas" (TPU only) fuses both triangle contributions and the
+    block-row reduction into one streaming pass over the tiles
+    (kernels/pallas_sparse_ice.py) — the XLA paths below read the tile
+    tensor twice and pay a ~190 MB/iter one-hot reduction operand at hg19
+    10 kb scale."""
+    if reduce == "pallas":
+        from ..kernels.pallas_sparse_ice import block_sym_matvec_pallas
+
+        return block_sym_matvec_pallas(tiles, brow, bcol, b, R=R, T=T)
     xb = b.reshape(R, T)
     if tiles.dtype == jnp.bfloat16:
         xb16 = xb.astype(jnp.bfloat16)
@@ -203,7 +213,7 @@ def sparse_ice_balance(tiles: jnp.ndarray, brow: jnp.ndarray,
                        R: int, T: int, ignore_diags: int = 1,
                        mad_max: int = 5, min_nnz: int = 10,
                        min_count: int = 0, tol: float = 1e-5,
-                       max_iters: int = 200, reduce: str = "onehot",
+                       max_iters: int = 200, reduce: str | None = None,
                        fast: bool = False):
     """ICE balancing of a block-sparse symmetric matrix.
 
@@ -213,11 +223,24 @@ def sparse_ice_balance(tiles: jnp.ndarray, brow: jnp.ndarray,
     not n² — this is what makes genome-wide 10 kb balancing representable.
     Returns (weights [R*T], stats); weights NaN at filtered bins.
 
+    reduce : block-row reduction strategy. ``None`` (default) resolves to
+    the fused Pallas marginal on TPU (one tile stream per iteration;
+    ``HICHAP_PALLAS_ICE=0`` opts out) and ``"onehot"`` elsewhere; the
+    sharded multi-chip path (parallel/sharding.sharded_sparse_ice) pins
+    ``"onehot"`` because GSPMD partitions that matmul contraction into a
+    clean psum over the tile axis.
+
     fast : iterate with bfloat16-stored tiles, float32 accumulation (same
     trade as ``ops.balance.ice_balance(fast=True)``: ~2x less HBM traffic
     against ~1e-3 relative weight deviation — filters and convergence
     state stay float32).
     """
+    if reduce is None:
+        import os
+
+        reduce = ("pallas" if jax.default_backend() == "tpu"
+                  and os.environ.get("HICHAP_PALLAS_ICE", "1") != "0"
+                  else "onehot")
     dtype = tiles.dtype
     N = R * T
 

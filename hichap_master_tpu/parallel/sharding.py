@@ -145,6 +145,185 @@ def sharded_sparse_genomewide(mesh: Mesh, R: int, T: int,
                    out_shardings=tile_s)
 
 
+def shard_hybrid_layout(h, n_devices: int):
+    """Host-side prep of a ``HybridGW`` for ``sharded_hybrid_ice``: pads the
+    tile and scattered-pixel axes to the device count and builds per-device
+    CLAMPED row bounds.
+
+    The scattered pixels are row-sorted; sharding them in contiguous ranges
+    means device d sees rows' pixels in [d*per, (d+1)*per).  Its local
+    bounds are the global bounds shifted by the range start and clipped to
+    the range — rows fully outside become empty segments, rows spanning a
+    boundary get partial sums on both devices, and the psum of the
+    per-device compensated-scan marginals reassembles the exact row sums.
+
+    Returns (BlockMatrix padded, sc_cols [Pd], sc_vals [Pd],
+    lbounds [D, N+1], sc_nnz [N]).
+    """
+    from ..ops.sparse import pad_blocks
+
+    bm = pad_blocks(h.bm, n_devices)
+    N = bm.R * bm.T
+    D = n_devices
+    P_ = h.P
+    per = -(-P_ // D)
+    Pd = per * D
+    sc_cols = np.zeros(Pd, np.int32)
+    sc_vals = np.zeros(Pd, np.float32)
+    sc_cols[:P_] = np.asarray(h.sc_cols)
+    sc_vals[:P_] = np.asarray(h.sc_vals, np.float32)
+    gb = np.full(N + 1, h.bounds[-1], np.int64)
+    gb[: h.bounds.size] = np.asarray(h.bounds)
+    starts = (np.arange(D, dtype=np.int64) * per)[:, None]
+    lbounds = np.clip(gb[None, :] - starts, 0, per).astype(np.int32)
+    sc_nnz = np.zeros(N, np.float32)
+    sc_nnz[: h.sc_nnz.size] = np.asarray(h.sc_nnz)
+    return bm, sc_cols, sc_vals, lbounds, sc_nnz
+
+
+def sharded_hybrid_ice(mesh: Mesh, R: int, T: int, *, ignore_diags: int = 1,
+                       mad_max: int = 5, min_nnz: int = 10,
+                       min_count: int = 0, tol: float = 1e-5,
+                       max_iters: int = 200):
+    """The PRODUCTION genome-wide 10 kb weights path
+    (ops/sparse_hybrid.hybrid_ice_balance, used by
+    pipeline/matrix._write_weights) over a device mesh.
+
+    Tiles shard over the flattened (chrom x bins) device set exactly like
+    ``sharded_sparse_ice``; the scattered COO remainder shards in contiguous
+    row-sorted ranges, each device running the compensated-prefix segment
+    sums against its CLAMPED local bounds (``shard_hybrid_layout``), and the
+    two partial marginals psum over the mesh inside a ``shard_map`` region.
+    Filter semantics and the convergence loop are byte-identical to the
+    single-device ``hybrid_ice_balance``; parity is pinned by
+    testing/sharding_check.py.  Replaces the reference's host-bound
+    ``cooler balance`` subprocess (HiCHap/matrixBuilding.py:706-714), which
+    cannot reach genome-wide 10 kb at all.
+
+    Call via: fn(tiles, brow, bcol, sc_cols, sc_vals, lbounds, sc_nnz, n)
+    with arrays from ``shard_hybrid_layout``.
+    """
+    import functools
+
+    from ..ops.masked import masked_mean, masked_median, masked_var
+    from ..ops.sparse import block_sym_matvec
+    from ..ops.sparse_hybrid import _segment_sums
+
+    flat = ("chrom", "bins")
+    N = R * T
+    tile_s = NamedSharding(mesh, P(flat, None, None))
+    k_s = NamedSharding(mesh, P(flat))
+    px_s = NamedSharding(mesh, P(flat))
+    d_s = NamedSharding(mesh, P(flat, None))
+    rep = NamedSharding(mesh, P())
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(flat, None, None), P(flat), P(flat), P(flat), P(flat),
+                  P(flat, None), P()),
+        out_specs=P())
+    def _marg(tiles, brow, bcol, sc_cols, sc_vals, lbounds, b):
+        y = block_sym_matvec(tiles, brow, bcol, b, R=R, T=T,
+                             reduce="onehot")
+        y = y + _segment_sums(sc_vals * b[sc_cols], lbounds[0])
+        return jax.lax.psum(y, flat)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(flat, None, None), P(flat), P(flat), P()),
+        out_specs=P())
+    def _mv_tiles(tiles, brow, bcol, b):
+        return jax.lax.psum(
+            block_sym_matvec(tiles, brow, bcol, b, R=R, T=T,
+                             reduce="onehot"), flat)
+
+    def fn(tiles, brow, bcol, sc_cols, sc_vals, lbounds, sc_nnz, n):
+        if not jnp.issubdtype(tiles.dtype, jnp.floating):
+            tiles = tiles.astype(jnp.float32)
+        if not jnp.issubdtype(sc_vals.dtype, jnp.floating):
+            sc_vals = sc_vals.astype(tiles.dtype)
+        dtype = tiles.dtype
+        if ignore_diags > 0:
+            li = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+            lj = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+            gdiff = ((bcol - brow).astype(jnp.int32)[:, None, None] * T
+                     + (lj - li)[None])
+            tiles = jnp.where(jnp.abs(gdiff) < ignore_diags, 0.0, tiles)
+
+        valid = jnp.arange(N) < n
+        ones = jnp.where(valid, jnp.ones((), dtype), 0.0)
+        marg0 = _marg(tiles, brow, bcol, sc_cols, sc_vals, lbounds,
+                      ones) * ones
+        nnz = (_mv_tiles((tiles != 0).astype(dtype), brow, bcol, ones)
+               + sc_nnz)
+        keep = valid & (nnz >= min_nnz) & (marg0 >= min_count)
+        if mad_max > 0:
+            sel = keep & (marg0 > 0)
+            logm = jnp.where(sel, jnp.log(jnp.maximum(marg0, 1e-300)), 0.0)
+            med = masked_median(logm, sel)
+            dev = masked_median(jnp.abs(logm - med), sel)
+            keep = keep & (marg0 >= jnp.exp(med - mad_max * dev))
+        b0 = jnp.where(keep, jnp.ones((), dtype), 0.0)
+
+        def body(state):
+            it, b, _, _ = state
+            marg = _marg(tiles, brow, bcol, sc_cols, sc_vals, lbounds,
+                         b) * b
+            nz = marg != 0
+            mean_nz = masked_mean(marg, nz)
+            var = masked_var(marg, nz)
+            margn = marg / jnp.where(mean_nz != 0, mean_nz, 1.0)
+            margn = jnp.where(margn == 0, 1.0, margn)
+            return it + 1, b / margn, var, mean_nz
+
+        def cond(state):
+            it, _, var, _ = state
+            return (var >= tol) & (it < max_iters)
+
+        init = (jnp.zeros((), jnp.int32), b0, jnp.asarray(jnp.inf, dtype),
+                jnp.ones((), dtype))
+        iters, b, var, scale = jax.lax.while_loop(cond, body, init)
+        w = b / jnp.sqrt(jnp.where(scale > 0, scale, 1.0))
+        w = jnp.where(keep & (b != 0), w, jnp.nan)
+        return w, {"scale": scale, "var": var, "iters": iters,
+                   "converged": var < tol}
+
+    return jax.jit(fn, in_shardings=(tile_s, k_s, k_s, px_s, px_s, d_s,
+                                     rep, rep),
+                   out_shardings=(rep, None))
+
+
+def sharded_tads_em(mesh: Mesh, tol: float = 1e-6, max_iters: int = 500):
+    """GMM-HMM Baum-Welch (ops/hmm._baum_welch_device — the one
+    nested-while_loop program in the framework) with the padded DI-segment
+    batch sharded over the flattened (chrom x bins) device set.
+
+    The E-step vmaps over sequences and reduces sufficient statistics over
+    the batch axis; with X/L sharded on that axis GSPMD turns each
+    reduction into a psum while the parameter state in the while_loop
+    carry stays replicated.  Replaces GHMM's single-threaded C Baum-Welch
+    (HiCHap/StructureFind.py:1052-1110).
+
+    Returns a jitted fn(X [B,T], L [B], A0, pi0, means0, varis0, weights0,
+    zero_A, zero_pi) -> (iters, params, loglik).
+    """
+    from ..ops.hmm import _baum_welch_device
+
+    flat = ("chrom", "bins")
+    x_s = NamedSharding(mesh, P(flat, None))
+    l_s = NamedSharding(mesh, P(flat))
+    rep = NamedSharding(mesh, P())
+
+    def fn(X, L, A0, pi0, means0, varis0, weights0, zero_A, zero_pi):
+        return _baum_welch_device(X, L, A0, pi0, means0, varis0, weights0,
+                                  zero_A, zero_pi, tol, max_iters)
+
+    return jax.jit(
+        fn,
+        in_shardings=(x_s, l_s, rep, rep, rep, rep, rep, rep, rep),
+        out_shardings=(None, rep, None))
+
+
 def analysis_train_step(mesh: Mesh):
     """The framework's full "training step" over a device mesh:
 

@@ -74,6 +74,47 @@ def run_parity(dense_reads: bool, scale: int = 1) -> None:
                                    rtol=1e-5, atol=1e-4)
 
 
+def run_sparse_ice_parity() -> None:
+    """Compiled parity of the fused block-sparse marginal kernel and the
+    reduce="pallas" balancing path against the XLA onehot formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..kernels.pallas_sparse_ice import block_sym_matvec_pallas
+    from ..ops.sparse import (block_sym_matvec, blocks_from_coo,
+                              sparse_ice_balance)
+
+    assert jax.default_backend() == "tpu"
+    rng = np.random.default_rng(11)
+    n, T = 1500, 128
+    nnz = 40_000
+    r = rng.integers(0, n, nnz)
+    c = rng.integers(0, n, nnz)
+    rows, cols = np.minimum(r, c), np.maximum(r, c)
+    vals = rng.poisson(4.0, nnz).astype(np.float32) + 0.5
+    bm = blocks_from_coo(rows, cols, vals, n, T)
+    tiles = jnp.asarray(bm.tiles)
+    brow = jnp.asarray(bm.brow)
+    bcol = jnp.asarray(bm.bcol)
+    b = jnp.asarray(rng.random(bm.R * T).astype(np.float32))
+
+    y_x = np.asarray(block_sym_matvec(tiles, brow, bcol, b, R=bm.R, T=T,
+                                      reduce="onehot"))
+    y_p = np.asarray(block_sym_matvec_pallas(tiles, brow, bcol, b,
+                                             R=bm.R, T=T))
+    np.testing.assert_allclose(y_p, y_x, rtol=1e-5, atol=1e-3)
+
+    w_x, st_x = sparse_ice_balance(tiles, brow, bcol, jnp.asarray(n),
+                                   R=bm.R, T=T, reduce="onehot")
+    w_p, st_p = sparse_ice_balance(tiles, brow, bcol, jnp.asarray(n),
+                                   R=bm.R, T=T, reduce="pallas")
+    w_x, w_p = np.asarray(w_x), np.asarray(w_p)
+    np.testing.assert_array_equal(np.isnan(w_x), np.isnan(w_p))
+    m = ~np.isnan(w_x)
+    np.testing.assert_allclose(w_p[m], w_x[m], rtol=1e-4)
+    assert int(np.asarray(st_p["iters"])) > 0
+
+
 def main() -> None:
     import os
 
@@ -91,6 +132,7 @@ def main() -> None:
         pass
     for dense_reads in (True, False):
         run_parity(dense_reads)
+    run_sparse_ice_parity()
     print("PALLAS_PARITY_OK")
 
 

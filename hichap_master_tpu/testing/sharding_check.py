@@ -197,6 +197,65 @@ def main() -> int:
         err = min(np.abs(got - ref).max(), np.abs(got + ref).max())
         assert err < 1e-3, f"chrom {i}: pc mismatch {err}"
     print("OK sharded compartment matches single-device")
+
+    # --- sharded hybrid ICE (production 10 kb weights path) ---------------
+    from hichap_master_tpu.ops.sparse_hybrid import (hybrid_from_coo,
+                                                     ice_balance_hybrid)
+    from hichap_master_tpu.parallel import (shard_hybrid_layout,
+                                            sharded_hybrid_ice)
+
+    n_h = 700
+    i_h = np.arange(n_h)
+    d_h = np.abs(np.subtract.outer(i_h, i_h))
+    Mh = (rng.poisson(30.0 / (d_h + 1.0)) * (d_h < 80)).astype(np.float32)
+    sc_r = rng.integers(0, n_h, 4000)
+    sc_c = rng.integers(0, n_h, 4000)
+    Mh[np.minimum(sc_r, sc_c), np.maximum(sc_r, sc_c)] += rng.poisson(
+        2.0, 4000).astype(np.float32) + 1.0
+    rh, ch2 = np.nonzero(np.triu(Mh))
+    hyb = hybrid_from_coo(rh, ch2, Mh[rh, ch2], n_h, T=64, min_tile_occ=64)
+    assert hyb.sc_nnz.sum() > 0 and hyb.bm.K > 1
+    bm_h, scc, scv, lb, snz = shard_hybrid_layout(hyb, 8)
+    hice = sharded_hybrid_ice(mesh, bm_h.R, bm_h.T, max_iters=30, tol=1e-6)
+    w_h, st_h = hice(jnp.asarray(bm_h.tiles), jnp.asarray(bm_h.brow),
+                     jnp.asarray(bm_h.bcol), jnp.asarray(scc),
+                     jnp.asarray(scv), jnp.asarray(lb), jnp.asarray(snz),
+                     jnp.asarray(n_h))
+    w_h = np.asarray(w_h)[:n_h]
+    w_ref, st_ref = ice_balance_hybrid(hyb, max_iters=30, tol=1e-6)
+    w_ref = np.asarray(w_ref)
+    np.testing.assert_array_equal(np.isnan(w_h), np.isnan(w_ref))
+    mk = ~np.isnan(w_ref)
+    np.testing.assert_allclose(w_h[mk], w_ref[mk], rtol=1e-4)
+    assert int(np.asarray(st_h["iters"])) == int(np.asarray(st_ref["iters"]))
+    print("OK sharded hybrid ICE matches single-device")
+
+    # --- sharded TAD Baum-Welch (nested while_loop under GSPMD) -----------
+    from hichap_master_tpu.models.tads import init_parameters
+    from hichap_master_tpu.ops.hmm import _baum_welch_device, _pad_sequences
+    from hichap_master_tpu.parallel import sharded_tads_em
+
+    model = init_parameters(3)
+    seqs = [np.sin(np.linspace(0, 6, 40 + 7 * (i % 5))).astype(np.float32)
+            * (2.0 + (i % 3)) + rng.normal(0, 0.3, 40 + 7 * (i % 5))
+            for i in range(32)]
+    X, L = _pad_sequences(seqs)
+    margs = (jnp.asarray(model.A), jnp.asarray(model.pi),
+             jnp.asarray(model.means), jnp.asarray(model.varis),
+             jnp.asarray(model.weights), jnp.asarray(model.A <= 0),
+             jnp.asarray(model.pi <= 0))
+    em = sharded_tads_em(mesh, tol=1e-6, max_iters=10)
+    it_s, params_s, ll_s = em(jnp.asarray(X), jnp.asarray(L), *margs)
+    it_1, params_1, ll_1 = _baum_welch_device(
+        jnp.asarray(X), jnp.asarray(L), *margs, 1e-6, 10)
+    assert int(np.asarray(it_s)) == int(np.asarray(it_1))
+    np.testing.assert_allclose(float(ll_s), float(ll_1), rtol=1e-4)
+    for p_s, p_1 in zip(params_s, params_1):
+        # psum reduction order differs from the single-device einsum tree;
+        # f32 drift compounds ~1e-7/EM step
+        np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_1),
+                                   rtol=2e-3, atol=1e-5)
+    print("OK sharded TAD Baum-Welch matches single-device")
     return 0
 
 
