@@ -38,7 +38,10 @@ def _enable_compile_cache():
 
 N_BINS = 24_896          # chr1 at 10 kb (249 Mb / 10 kb), padded to 128
 PAD = 128 * ((N_BINS + 127) // 128)
-BENCH_ITERS = 50
+# VERDICT r3/r4: 50-iter samples are dominated by the ~0.1 s dispatch+sync
+# round trip over the tunnel (they under-read the device rate 2-4x); 200+
+# iterations puts >= 0.8 s of device time behind every sample.
+BENCH_ITERS = 200
 CPU_SAMPLE_ITERS = 3
 
 
@@ -78,10 +81,12 @@ def tpu_iters_per_sec() -> float:
         return np.asarray(w), int(stats["iters"])
 
     run()  # compile + warm
-    t0 = time.perf_counter()
-    _, iters = run()
-    dt = time.perf_counter() - t0
-    return float(iters) / dt
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, iters = run()
+        rates.append(float(iters) / (time.perf_counter() - t0))
+    return sorted(rates)[1]
 
 
 def cpu_iters_per_sec() -> float:
@@ -124,7 +129,10 @@ def sparse_genomewide_extras() -> dict:
     from hichap_master_tpu.ops.sparse import sparse_ice_balance
     from scripts.perf_sparse_gw import band_coords, gen_tiles_device, hg19_bins
 
-    T, iters = 128, 50
+    # 300 iterations/sample: ~1.5 s of device time per sample, so the
+    # ~0.1 s dispatch+sync round trip over the tunnel reads as <10% noise
+    # rather than the 2-4x under-read the old 50-iter samples suffered
+    T, iters = 128, 300
     n = hg19_bins()
     R = (n + T - 1) // T
     coords = band_coords(R)

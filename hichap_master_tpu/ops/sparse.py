@@ -179,9 +179,10 @@ def block_sym_matvec(tiles: jnp.ndarray, brow: jnp.ndarray,
 
     reduce="pallas" (TPU only) fuses both triangle contributions and the
     block-row reduction into one streaming pass over the tiles
-    (kernels/pallas_sparse_ice.py) — the XLA paths below read the tile
-    tensor twice and pay a ~190 MB/iter one-hot reduction operand at hg19
-    10 kb scale."""
+    (kernels/pallas_sparse_ice.py).  Measured at hg19 10 kb scale it is
+    SLOWER than the XLA formulation (264 vs 631 matvecs/s amortized —
+    see the kernel docstring for why); it is kept as an opt-in
+    experiment, not a production path."""
     if reduce == "pallas":
         from ..kernels.pallas_sparse_ice import block_sym_matvec_pallas
 
@@ -224,11 +225,14 @@ def sparse_ice_balance(tiles: jnp.ndarray, brow: jnp.ndarray,
     Returns (weights [R*T], stats); weights NaN at filtered bins.
 
     reduce : block-row reduction strategy. ``None`` (default) resolves to
-    the fused Pallas marginal on TPU (one tile stream per iteration;
-    ``HICHAP_PALLAS_ICE=0`` opts out) and ``"onehot"`` elsewhere; the
-    sharded multi-chip path (parallel/sharding.sharded_sparse_ice) pins
-    ``"onehot"`` because GSPMD partitions that matmul contraction into a
-    clean psum over the tile axis.
+    ``"onehot"`` — XLA fuses both triangle contractions into one tile
+    stream and the one-hot reduction rides the MXU, measured 631-805
+    marginals/s at hg19 10 kb (2.4x the Pallas attempt; see
+    kernels/pallas_sparse_ice.py).  ``HICHAP_PALLAS_ICE=1`` opts into the
+    Pallas kernel on TPU for comparison runs; the sharded multi-chip path
+    (parallel/sharding.sharded_sparse_ice) pins ``"onehot"`` because GSPMD
+    partitions that matmul contraction into a clean psum over the tile
+    axis.
 
     fast : iterate with bfloat16-stored tiles, float32 accumulation (same
     trade as ``ops.balance.ice_balance(fast=True)``: ~2x less HBM traffic
@@ -239,7 +243,7 @@ def sparse_ice_balance(tiles: jnp.ndarray, brow: jnp.ndarray,
         import os
 
         reduce = ("pallas" if jax.default_backend() == "tpu"
-                  and os.environ.get("HICHAP_PALLAS_ICE", "1") != "0"
+                  and os.environ.get("HICHAP_PALLAS_ICE", "0") == "1"
                   else "onehot")
     dtype = tiles.dtype
     N = R * T

@@ -98,7 +98,9 @@ def main():
     from hichap_master_tpu.ops.sparse import sparse_ice_balance
 
     T = 128
-    iters = int(os.environ.get("PERF_ITERS", "50"))
+    # 300 iters/sample amortizes the ~0.1 s dispatch+sync tunnel round trip
+    # (50-iter samples under-read the device rate 2-4x — VERDICT r3)
+    iters = int(os.environ.get("PERF_ITERS", "300"))
     reduce = os.environ.get("PERF_REDUCE", "onehot")
     n = hg19_bins()
     R = (n + T - 1) // T
