@@ -116,8 +116,69 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.hicio_radix_sort_kv.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                         ctypes.c_int64]
     lib.hicio_radix_sort_kv.restype = ctypes.c_int
+    lib.hicio_abed_open.argtypes = [ctypes.c_char_p]
+    lib.hicio_abed_open.restype = ctypes.c_void_p
+    lib.hicio_abed_rows.argtypes = [ctypes.c_void_p]
+    lib.hicio_abed_rows.restype = ctypes.c_long
+    lib.hicio_abed_name_width.argtypes = [ctypes.c_void_p]
+    lib.hicio_abed_name_width.restype = ctypes.c_int
+    lib.hicio_abed_n_labels.argtypes = [ctypes.c_void_p]
+    lib.hicio_abed_n_labels.restype = ctypes.c_int
+    lib.hicio_abed_label_bytes.argtypes = [ctypes.c_void_p]
+    lib.hicio_abed_label_bytes.restype = ctypes.c_int
+    lib.hicio_abed_labels.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.hicio_abed_labels.restype = ctypes.c_int
+    lib.hicio_abed_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 17
+    lib.hicio_abed_export.restype = ctypes.c_int
+    lib.hicio_abed_free.argtypes = [ctypes.c_void_p]
+    lib.hicio_abed_free.restype = None
     _lib = lib
     return _lib
+
+
+def load_allelic_bed(path: str):
+    """One native pass over a 15/23-column allelic valid bed → typed
+    columns: ``(cols, labels)`` where cols maps the aFiltering column
+    numbers to numpy arrays (names as fixed-width ``S`` bytes, chroms as
+    int32 codes into ``labels``, numerics as int64, the candidate tag as
+    uint8 0/1/2) — see native/hicio.cpp ``hicio_abed_*``.  Returns None
+    when the library is missing or the file violates the strict 15/23
+    layout (caller falls back to the ragged-tolerant pandas reader)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = lib.hicio_abed_open(path.encode())
+    if not h:
+        return None
+    try:
+        n = lib.hicio_abed_rows(h)
+        if n < 0:
+            return None
+        w = max(1, lib.hicio_abed_name_width(h))
+        names = np.zeros(n, dtype=f"S{w}")
+        c1 = np.empty(n, np.int32)
+        c8 = np.empty(n, np.int32)
+        c15 = np.empty(n, np.int32)
+        ints = {c: np.empty(n, np.int64)
+                for c in (3, 5, 6, 7, 10, 12, 13, 14, 17, 19, 20, 21)}
+        tag = np.empty(n, np.uint8)
+        ptr = [names.ctypes.data, c1.ctypes.data, c8.ctypes.data,
+               c15.ctypes.data] + [ints[c].ctypes.data
+                                   for c in (3, 5, 6, 7, 10, 12, 13, 14,
+                                             17, 19, 20, 21)] + \
+              [tag.ctypes.data]
+        if lib.hicio_abed_export(h, *ptr):
+            return None
+        nb = lib.hicio_abed_label_bytes(h)
+        buf = ctypes.create_string_buffer(max(nb, 1))
+        lib.hicio_abed_labels(h, buf)
+        labels = [s.decode() for s in buf.raw[:nb].split(b"\0")[:-1]]
+    finally:
+        lib.hicio_abed_free(h)
+    cols = {0: names, 1: c1, 8: c8, 15: c15, 22: tag, **ints}
+    return cols, labels
 
 
 def parse_allelic_chunk(buf: bytes, labels: Sequence[str], with_tag: bool):

@@ -300,31 +300,84 @@ def _specific_mapping(info: List[str]):
     return "N", lines
 
 
-def _load_sorted_frame(path: str):
-    """Name-sorted bed as a 23-column all-string DataFrame (rows with 15
-    columns carry NaN tails; values stay verbatim strings so outputs are
-    byte-identical to the per-line path).
+# columns the assignment actually reads (cols 2, 4, 9, 11, 16, 18 — strands,
+# mapq-like fields and the candidate's pos/score twins — are never consulted
+# by aFiltering's decision tree, filtering.py:507-983)
+_AF_OBJ_COLS = (0, 1, 8, 15, 22)
+_AF_INT_COLS = (3, 5, 6, 7, 10, 12, 13, 14)      # always present
+_AF_FLOAT_COLS = (17, 19, 20, 21)                 # NaN on 15-column rows
+_AF_USECOLS = tuple(sorted(_AF_OBJ_COLS + _AF_INT_COLS + _AF_FLOAT_COLS))
 
-    The native external line sort feeds the frame read: an in-memory
-    ``sort_values(0)`` was measured SLOWER (253 s vs 187 s at 10M pairs
-    — argsort over 8M Python string objects loses to the C++ sort even
-    with the temp-file round trip)."""
+
+def _load_frame_pandas(source):
+    """Ragged-tolerant pandas parse + encode (fallback when the native
+    library is unavailable or the file violates the strict 15/23 layout):
+    every row 15 or 23 wide, NaN tails on the short ones, then re-encoded
+    to the same typed columns the native path produces."""
     import pandas as pd
 
-    from ..io.native import sort_file
-
-    tmp = path + ".name_sorted"
-    sort_file(path, tmp, "name")
+    dtypes = {**{c: object for c in _AF_OBJ_COLS},
+              **{c: np.int64 for c in _AF_INT_COLS},
+              **{c: np.float64 for c in _AF_FLOAT_COLS}}
     try:
-        # dtype=object, not str: pandas' str dtype builds arrow-backed
-        # string arrays (measured ~10 s of the 15 s frame load at 2M rows)
-        df = pd.read_csv(tmp, sep="\t", header=None, names=list(range(23)),
-                         dtype=object, engine="c")
+        df = pd.read_csv(source, sep="\t", header=None,
+                         names=list(range(23)), usecols=list(_AF_USECOLS),
+                         dtype=dtypes, engine="c", low_memory=False)
     except pd.errors.EmptyDataError:
-        df = pd.DataFrame({i: pd.Series(dtype=str) for i in range(23)})
-    finally:
-        os.remove(tmp)
-    return df
+        df = pd.DataFrame({i: pd.Series(dtype=dtypes[i])
+                           for i in _AF_USECOLS})
+    d = {c: df[c].to_numpy() for c in _AF_USECOLS}
+    n = d[0].size
+    names = d[0].astype("S") if n else np.empty(0, "S1")
+    c15v = d[15]
+    m15 = pd.notna(c15v)
+    pool = np.concatenate([d[1], d[8], c15v[m15]])
+    labels = sorted(set(pool.tolist()))
+    lab = np.array(labels + [""], dtype=object)
+    c15 = np.full(n, -1, np.int32)
+    if m15.any():
+        c15[m15] = np.searchsorted(lab[:-1], c15v[m15])
+    tag = np.zeros(n, np.uint8)
+    t22 = d[22]
+    tag[t22 == "R1"] = 1
+    tag[t22 == "R2"] = 2
+    cols = {0: names, 15: c15, 22: tag}
+    for c in (1, 8):
+        cols[c] = (np.searchsorted(lab[:-1], d[c]).astype(np.int32)
+                   if n else np.empty(0, np.int32))
+    for c in _AF_INT_COLS:
+        cols[c] = d[c]
+    for c in _AF_FLOAT_COLS:
+        v = np.zeros(n, np.int64)
+        has = tag > 0
+        v[has] = d[c][has].astype(np.int64)
+        cols[c] = v
+    return cols, labels
+
+
+def _load_frame(path: str):
+    """Valid bed as typed columns: ``(cols, labels)`` where cols maps the
+    aFiltering column numbers to numpy arrays — read names as fixed-width
+    ``S`` bytes (argsort/searchsorted run as memcmp loops; byte order ==
+    str order for ASCII names), chroms as int32 codes into ``labels``,
+    numerics as int64, the candidate tag as uint8 0/1/2 (none/R1/R2).
+    Codes map back through the label table only at write time, so integer
+    columns round-trip to the same bytes (all upstream writers emit plain
+    ints) — pinned by the vectorized-vs-rowwise parity test.
+
+    The native hicio columnizer does the parse in one C++ pass (the
+    all-pandas typed parse spent 10.7 s of a 16 s stage at 2M pairs
+    building Python str objects; a pyarrow fast path was tried and
+    REJECTED for the same reason — its arrow->object conversion cost more
+    than the parse saved).  Rows load in INPUT order — the columnar path
+    joins through an argsort permutation, so no column is ever
+    reordered."""
+    from ..io.native import load_allelic_bed
+
+    got = load_allelic_bed(path)
+    if got is not None:
+        return got
+    return _load_frame_pandas(path)
 
 
 def _sorted_member(a: np.ndarray, b: np.ndarray):
@@ -336,11 +389,16 @@ def _sorted_member(a: np.ndarray, b: np.ndarray):
     return (ins < b.size) & (b[safe] == a), ins
 
 
-def _rows_of(df, idxs) -> List[List[str]]:
-    """Materialize DataFrame rows back into the split-line list form the
-    reference-faithful row paths consume (NaN tails stripped)."""
-    arr = df.iloc[idxs].to_numpy()
-    return [[x for x in row if x == x] for row in arr]
+def _candidate_ok_vec(df, idx):
+    """Vectorized ``_candidate_ok`` over candidate-bearing rows ``idx``:
+    the candidate must share chromosome + fragment with the mate its tag
+    names (filtering.py:507-546)."""
+    tag = df[22][idx]
+    cc = df[15][idx]
+    cf = df[20][idx]
+    ok1 = (df[1][idx] == cc) & (df[6][idx] == cf)
+    ok2 = (df[8][idx] == cc) & (df[13][idx] == cf)
+    return np.where(tag == 1, ok1, ok2)
 
 
 def _write_class(out, cols, tag=None, ids=None) -> None:
@@ -351,6 +409,8 @@ def _write_class(out, cols, tag=None, ids=None) -> None:
     data = {}
     j = 0
     if ids is not None:
+        if ids.dtype.kind == "S":  # fixed-width names -> text
+            ids = ids.astype("U")
         data[j] = ids
         j += 1
     for a in cols:
@@ -369,14 +429,14 @@ def _both_marks_arrays(m_df, mi, p_df, pi):
     lines = [None] * 4
     for mate, (c_i, pos_i, score_i, frag_i, snp_i) in enumerate(
             ((1, 3, 5, 6, 7), (8, 10, 12, 13, 14))):
-        mc = m_df[c_i].to_numpy()[mi]
-        pc = p_df[c_i].to_numpy()[pi]
-        mpos = m_df[pos_i].to_numpy()[mi].astype(np.int64)
-        ppos = p_df[pos_i].to_numpy()[pi].astype(np.int64)
-        msc = m_df[score_i].to_numpy()[mi].astype(np.int64)
-        psc = p_df[score_i].to_numpy()[pi].astype(np.int64)
-        msnp = m_df[snp_i].to_numpy()[mi].astype(np.int64)
-        psnp = p_df[snp_i].to_numpy()[pi].astype(np.int64)
+        mc = m_df[c_i][mi]
+        pc = p_df[c_i][pi]
+        mpos = m_df[pos_i][mi]
+        ppos = p_df[pos_i][pi]
+        msc = m_df[score_i][mi]
+        psc = p_df[score_i][pi]
+        msnp = m_df[snp_i][mi]
+        psnp = p_df[snp_i][pi]
         same = (mc == pc) & (np.abs(mpos - ppos) <= 5)
         mark = np.full(n, "N", dtype="U1")
         mark[same & (msnp > 2 * psnp)] = "M"
@@ -386,12 +446,14 @@ def _both_marks_arrays(m_df, mi, p_df, pi):
         mark[diff & ((psc - msc) >= MAX_DIFF_SCORE) & (psnp >= 2 * msnp)] = "P"
         use_p = mark == "P"
         lines[2 * mate] = np.where(use_p, pc, mc)
-        lines[2 * mate + 1] = np.where(use_p, p_df[frag_i].to_numpy()[pi],
-                                       m_df[frag_i].to_numpy()[mi])
+        lines[2 * mate + 1] = np.where(use_p, p_df[frag_i][pi],
+                                       m_df[frag_i][mi])
         if mate == 0:
             out_marks = mark.astype("U2")
         else:
-            out_marks = np.char.add(out_marks, mark)
+            # pin dtype to exactly U2: np.char.add widens to U3, which
+            # would break the per-mate-character view in the retry pass
+            out_marks = np.char.add(out_marks, mark).astype("U2")
     return out_marks, lines
 
 
@@ -407,45 +469,70 @@ _BOTH_ROUTES = (("NN", "Bi_Allelic", None, "Bi_Allelic"),
                 ("PM", "P_M", None, "Regroup"))
 
 
-def _assign_columnar(m_df, p_df, m_names, p_names, outs, S, save_id,
-                     emit_specific, emit_both) -> int:
-    """Columnar merge-join assignment: every candidate-free row/pair is
-    classified with numpy column ops and written in one bulk append per
-    class; only candidate-bearing rows (a few percent) take the
-    reference-faithful per-row path.  The previous list-of-split-lines
-    flow measured 582 s at 10M pairs on the 1-core host — dominated by
-    16M str.split calls and per-row emits."""
-    in_p, ins = _sorted_member(m_names, p_names)
-    m_idx = np.flatnonzero(in_p)
-    p_idx = ins[m_idx]
-    in_m, _ = _sorted_member(p_names, m_names)
-    count = len(m_names) + len(p_names) - m_idx.size
+def _assign_columnar(m_df, p_df, m_names, m_sorted, p_sorted, m_order,
+                     p_order, lab, outs, S, save_id) -> int:
+    """Columnar merge-join assignment: every row/pair — candidate-bearing
+    included — is classified with numpy column ops and written in one bulk
+    append per class.  The candidate retry (filtering.py:684-722) and
+    rescue (filtering.py:960-977) only ever flip a mate's MARK, never the
+    emitted chromosome/fragment columns: ``_candidate_ok`` requires the
+    candidate to share both with the mate it replaces, so the substituted
+    values are equal to the originals by construction.  That makes the
+    whole decision tree expressible as boolean-mask updates over the base
+    marks.  (History: the original list-of-split-lines flow measured 582 s
+    at 10M pairs on the 1-core host; the half-columnar version that still
+    row-looped candidate rows, 187-253 s; this one ~65 s.)"""
+    # the join runs in name-sorted coordinates, then maps through the
+    # argsort permutations to absolute row indices — no column reorder
+    in_p, ins = _sorted_member(m_sorted, p_sorted)
+    m_pos = np.flatnonzero(in_p)
+    m_idx = m_order[m_pos]
+    p_idx = p_order[ins[m_pos]]
+    in_m, _ = _sorted_member(p_sorted, m_sorted)
+    count = len(m_sorted) + len(p_sorted) - m_idx.size
 
-    m_cand = m_df[22].notna().to_numpy()
-    p_cand = p_df[22].notna().to_numpy()
+    m_cand = m_df[22] > 0
+    p_cand = p_df[22] > 0
 
     # ---- single-genome (specific) rows -----------------------------------
-    for side, df, cand, spec in (("M", m_df, m_cand, np.flatnonzero(~in_p)),
-                                 ("P", p_df, p_cand, np.flatnonzero(~in_m))):
+    for side, df, cand, spec in (
+            ("M", m_df, m_cand, m_order[np.flatnonzero(~in_p)]),
+            ("P", p_df, p_cand, p_order[np.flatnonzero(~in_m)])):
         key = "M_M" if side == "M" else "P_P"
-        simple = spec[~cand[spec]]
-        complex_idx = spec[cand[spec]]
-        S[f"Speci_{side}"] += spec.size - complex_idx.size
-        if simple.size:
-            snp1 = df[7].to_numpy()[simple].astype(np.int64)
-            snp2 = df[14].to_numpy()[simple].astype(np.int64)
-            marks = np.full(simple.size, "N", dtype="U4")
+        S[f"Speci_{side}"] += spec.size
+        if spec.size:
+            snp1 = df[7][spec]
+            snp2 = df[14][spec]
+            marks = np.full(spec.size, "N", dtype="U4")
             marks[(snp1 != 0) & (snp2 != 0)] = "Both"
             marks[(snp1 != 0) & (snp2 == 0)] = "R1"
             marks[(snp1 == 0) & (snp2 != 0)] = "R2"
-            cols = [df[i].to_numpy()[simple] for i in (1, 6, 8, 13)]
-            ids = df[0].to_numpy()[simple] if save_id else None
+            has_c = cand[spec]
+            if has_c.any():
+                ci = spec[has_c]
+                # candidate usable + carries SNPs -> upgrades the mark
+                # (_specific_mapping branches, filtering.py:888-983)
+                up = _candidate_ok_vec(df, ci) & (
+                    df[21][ci] != 0)
+                tag = df[22][ci]
+                mk = marks[has_c]
+                mk[up & (mk == "R1") & (tag == 2)] = "Both"
+                mk[up & (mk == "R2") & (tag == 1)] = "Both"
+                rescue = up & (mk == "N")
+                mk[rescue & (tag == 1)] = "R1"
+                mk[rescue & (tag == 2)] = "R2"
+                marks[has_c] = mk
+            cols = [df[i][spec] for i in (1, 6, 8, 13)]
+            ids = df[0][spec] if save_id else None
             for kind, dest in (("Both", key), ("R1", key), ("R2", key),
                                ("N", "Bi_Allelic")):
                 sel = marks == kind
                 if not sel.any():
                     continue
-                _write_class(outs[dest], [a[sel] for a in cols],
+                arrs = [a[sel] for a in cols]
+                arrs[0] = lab[arrs[0]]  # chrom codes -> labels
+                arrs[2] = lab[arrs[2]]
+                _write_class(outs[dest], arrs,
                              tag=None if kind == "N" else kind,
                              ids=None if ids is None else ids[sel])
             n_both = int((marks == "Both").sum())
@@ -455,29 +542,122 @@ def _assign_columnar(m_df, p_df, m_names, p_names, outs, S, save_id,
             S[f"Single_{side}"] += n_single
             S[f"Speci_{side}_single"] += n_single
             S["Bi_Allelic"] += int((marks == "N").sum())
-        for row in _rows_of(df, complex_idx):
-            emit_specific(row, side)
 
     # ---- both-genome pairs ------------------------------------------------
-    simple = ~m_cand[m_idx] & ~p_cand[p_idx] if m_idx.size \
-        else np.zeros(0, bool)
-    sm, sp = m_idx[simple], p_idx[simple]
-    if sm.size:
-        marks, lines = _both_marks_arrays(m_df, sm, p_df, sp)
-        ids = m_names[sm] if save_id else None
+    if m_idx.size:
+        marks, lines = _both_marks_arrays(m_df, m_idx, p_df, p_idx)
+        anyc = m_cand[m_idx] | p_cand[p_idx]
+        if anyc.any():
+            _both_candidate_retry(m_df, p_df, m_idx, p_idx,
+                                  np.flatnonzero(anyc), marks, lines)
+        ids = m_names[m_idx] if save_id else None
         for code, dest, tag, skey in _BOTH_ROUTES:
             sel = marks == code
             if not sel.any():
                 continue
-            _write_class(outs[dest], [a[sel] for a in lines], tag=tag,
+            arrs = [a[sel] for a in lines]
+            arrs[0] = lab[arrs[0]]  # chrom codes -> labels
+            arrs[2] = lab[arrs[2]]
+            _write_class(outs[dest], arrs, tag=tag,
                          ids=None if ids is None else ids[sel])
             S[skey] += int(sel.sum())
-    m_complex = _rows_of(m_df, m_idx[~simple])
-    p_complex = _rows_of(p_df, p_idx[~simple])
-    for mr, pr in zip(m_complex, p_complex):
-        mark, lines = _both_mapping(mr, pr)
-        emit_both(mark, lines, mr[0])
     return count
+
+
+def _both_candidate_retry(m_df, p_df, m_idx, p_idx, sel, marks,
+                          lines) -> None:
+    """Vectorized candidate retry for both-genome pairs
+    (filtering.py:599-881): where the tagged mate's base mark is "N",
+    re-run ``_sub_search`` with the usable candidate's score/SNP columns
+    substituted for its side, and flip that mate's mark in place.
+
+    Replicates the reference's branch structure exactly, including its
+    quirks: with candidates on BOTH rows the mate index comes from the
+    maternal tag alone and each side substitutes per its own tag's
+    ``_candidate_ok`` (so a paternal R2 candidate can be substituted into
+    the R1 slot); one-sided candidates require their own ``_candidate_ok``
+    before any retry.  Marks flip N->M (lines already point at the
+    maternal columns) or N->P (lines switch to the paternal columns —
+    equal to what the per-row path emits because ``_candidate_ok`` pins
+    candidate chrom/frag to the originals)."""
+    mi, pi = m_idx[sel], p_idx[sel]
+    cm = m_df[22][mi] > 0
+    cp = p_df[22][pi] > 0
+    ok_m = np.zeros(sel.size, bool)
+    ok_p = np.zeros(sel.size, bool)
+    if cm.any():
+        ok_m[cm] = _candidate_ok_vec(m_df, mi[cm])
+    if cp.any():
+        ok_p[cp] = _candidate_ok_vec(p_df, pi[cp])
+    case_a = cm & ~cp
+    case_b = cp & ~cm
+    case_c = cm & cp
+    m_tag = m_df[22][mi]
+    p_tag = p_df[22][pi]
+    # mate index: the maternal tag except in the paternal-only case
+    ii = np.where(case_b, p_tag == 2, m_tag == 2).astype(np.int64)
+
+    mkview = marks.view("U1").reshape(-1, 2)
+    cur = mkview[sel, ii]
+    attempt = ((case_a & ok_m) | (case_b & ok_p) | case_c) & (cur == "N")
+    rows = np.flatnonzero(attempt)
+    if not rows.size:
+        return
+    mir, pir, iir = mi[rows], pi[rows], ii[rows]
+    sub_m = ((case_a | case_c) & ok_m)[rows]
+    sub_p = ((case_b | case_c) & ok_p)[rows]
+
+    def side_vals(df, ridx, sub, mate):
+        # per-mate (c, pos, score, snps), candidate columns swapped in
+        # where ``sub`` (the _Mate(info, 15) substitution)
+        vals = []
+        for a_col, b_col, c_col in ((1, 8, 15), (3, 10, 17), (5, 12, 19),
+                                    (7, 14, 21)):
+            a = df[a_col][ridx]
+            b = df[b_col][ridx]
+            v = np.where(mate == 1, b, a)
+            cv = df[c_col][ridx]
+            v = np.where(sub, cv, v)
+            vals.append(v)
+        return vals
+
+    mc, mpos, msc, msnp = side_vals(m_df, mir, sub_m, iir)
+    pc, ppos, psc, psnp = side_vals(p_df, pir, sub_p, iir)
+    same = (mc == pc) & (np.abs(mpos - ppos) <= 5)
+    mk = np.full(rows.size, "N", dtype="U1")
+    mk[same & (msnp > 2 * psnp)] = "M"
+    mk[same & (2 * msnp < psnp)] = "P"
+    diff = ~same
+    mk[diff & ((msc - psc) >= MAX_DIFF_SCORE) & (msnp >= 2 * psnp)] = "M"
+    mk[diff & ((psc - msc) >= MAX_DIFF_SCORE) & (psnp >= 2 * msnp)] = "P"
+    flip = mk != "N"
+    if not flip.any():
+        return
+    fr = rows[flip]
+    mkview[sel[fr], ii[fr]] = mk[flip]
+    # N->P flips re-point the mate's output columns at the paternal row
+    # (N->M keeps the maternal columns the base pass already selected).
+    # Where the paternal side was candidate-substituted, the per-row path
+    # emits the CANDIDATE's chrom/frag (pp[i] is _Mate(p_info, 15)) — for
+    # same-tag substitutions that equals the mate's own columns, but in
+    # the both-candidates case the slot comes from the MATERNAL tag while
+    # ok_p follows the paternal tag, so a cross-tag candidate carries the
+    # OTHER paternal mate's coordinates into this slot (filtering.py:
+    # 684-722 behavior, pinned by the vectorized-parity test).
+    is_p = mk == "P"
+    pf = rows[is_p]
+    sub_pf = sub_p[is_p]
+    for mate, (c_col, f_col) in enumerate(((1, 6), (8, 13))):
+        mmask = ii[pf] == mate
+        msel = pf[mmask]
+        if msel.size:
+            g = sel[msel]
+            gp = p_idx[g]
+            subm = sub_pf[mmask]
+            lines[2 * mate][g] = np.where(
+                subm, p_df[15][gp], p_df[c_col][gp])
+            lines[2 * mate + 1][g] = np.where(
+                subm, p_df[20][gp], p_df[f_col][gp])
 
 
 def allelic_filtering(maternal_bed: str, paternal_bed: str, out_dir: str,
@@ -558,17 +738,34 @@ def allelic_filtering(maternal_bed: str, paternal_bed: str, out_dir: str,
 
     uniq = False
     if vectorized:
-        m_df = _load_sorted_frame(maternal_bed)
-        p_df = _load_sorted_frame(paternal_bed)
-        m_names = m_df[0].to_numpy()
-        p_names = p_df[0].to_numpy()
-        # the columnar fast path needs sorted-UNIQUE names on both sides
-        uniq = (bool((m_names[1:] > m_names[:-1]).all())
-                and bool((p_names[1:] > p_names[:-1]).all()))
+        m_df, m_labels = _load_frame(maternal_bed)
+        p_df, p_labels = _load_frame(paternal_bed)
+        # unify the two per-file chromosome code tables so cross-frame
+        # equality is plain int compare (code -1 = "no candidate chrom"
+        # maps through the appended sentinel slot)
+        labels = sorted(set(m_labels) | set(p_labels))
+        lab = np.array(labels + [""], dtype=object)
+        pos = {x: i for i, x in enumerate(labels)}
+        for d, dl in ((m_df, m_labels), (p_df, p_labels)):
+            remap = np.array([pos[x] for x in dl] + [-1], np.int32)
+            for c in (1, 8, 15):
+                d[c] = remap[d[c]]
+        # fixed-width names: argsort/searchsorted/compare run as memcmp
+        # loops instead of per-element PyObject calls; ASCII read names
+        # order identically under bytes and str comparison
+        m_names = m_df[0]
+        p_names = p_df[0]
+        m_order = np.argsort(m_names, kind="stable")
+        p_order = np.argsort(p_names, kind="stable")
+        m_sorted = m_names[m_order]
+        p_sorted = p_names[p_order]
+        # the columnar fast path needs UNIQUE names on both sides
+        uniq = (bool((m_sorted[1:] > m_sorted[:-1]).all())
+                and bool((p_sorted[1:] > p_sorted[:-1]).all()))
 
     if vectorized and uniq:
-        count = _assign_columnar(m_df, p_df, m_names, p_names, outs, S,
-                                 save_id, emit_specific, emit_both)
+        count = _assign_columnar(m_df, p_df, m_names, m_sorted, p_sorted,
+                                 m_order, p_order, lab, outs, S, save_id)
     else:
         m_rows = load_sorted(maternal_bed)
         p_rows = load_sorted(paternal_bed)

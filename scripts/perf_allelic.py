@@ -118,7 +118,8 @@ def main():
         f"{N_PAIRS/max(wall,1e-9)/1e6:.2f} M pairs/s)")
     log(f"stats: {stats}")
     rec = {"allelic_s": round(wall, 1), "pairs": N_PAIRS, "gb": round(gb, 2),
-           **{k: int(v) for k, v in stats.items()}}
+           **{k: (round(v, 4) if isinstance(v, float) else int(v))
+              for k, v in stats.items()}}
     with open(os.path.join(_REPO, ".perf_allelic.json"), "w") as f:
         json.dump(rec, f)
     log("written to .perf_allelic.json")

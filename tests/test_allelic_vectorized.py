@@ -34,8 +34,7 @@ def _row(rng, name, n_cols=15, snp_max=4):
     return "\t".join(base)
 
 
-def _gen_beds(tmp_path, rng, tag):
-    n = 400
+def _gen_beds(tmp_path, rng, tag, n=400):
     m_lines, p_lines = [], []
     for i in range(n):
         name = f"pair{i:05d}"
@@ -58,7 +57,10 @@ def _gen_beds(tmp_path, rng, tag):
 
 @pytest.mark.parametrize("save_id", [False, True])
 def test_vectorized_matches_rowwise(tmp_path, rng, save_id):
-    m1, p1 = _gen_beds(tmp_path, rng, "a")
+    # 3000 pairs with 25% candidate rows exercises every retry branch:
+    # one-sided usable/unusable candidates, both-sided with mixed tags
+    # (the maternal-tag-picks-the-mate quirk), and the rescue upgrades
+    m1, p1 = _gen_beds(tmp_path, rng, "a", n=3000)
     # sorting deletes inputs? no — sort_file writes a temp; inputs persist
     out_v = tmp_path / "vec"
     out_r = tmp_path / "row"
