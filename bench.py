@@ -73,9 +73,10 @@ def tpu_iters_per_sec() -> float:
 
     M = _device_matrix()
     n = jnp.asarray(N_BINS)
+    iters = BENCH_ITERS if jax.default_backend() == "tpu" else 10
 
     def run():
-        w, stats = ice_balance(M, n, tol=0.0, max_iters=BENCH_ITERS)
+        w, stats = ice_balance(M, n, tol=0.0, max_iters=iters)
         # np.asarray forces a host transfer: on the axon platform
         # block_until_ready returns before execution completes.
         return np.asarray(w), int(stats["iters"])
@@ -125,14 +126,18 @@ def sparse_genomewide_extras() -> dict:
     """TRUE genome-wide metric: block-sparse ICE over hg19 chr1..22+X at
     10 kb (303,641 bins; dense would be ~343 GB — unrepresentable on any
     chip).  Tiles generated on device; see scripts/perf_sparse_gw.py."""
+    import jax
     import jax.numpy as jnp
     from hichap_master_tpu.ops.sparse import sparse_ice_balance
     from scripts.perf_sparse_gw import band_coords, gen_tiles_device, hg19_bins
 
     # 300 iterations/sample: ~1.5 s of device time per sample, so the
     # ~0.1 s dispatch+sync round trip over the tunnel reads as <10% noise
-    # rather than the 2-4x under-read the old 50-iter samples suffered
-    T, iters = 128, 300
+    # rather than the 2-4x under-read the old 50-iter samples suffered.
+    # The CPU fallback backend runs ~2 iters/s — scale the sample down so
+    # a fallback bench still completes inside the watchdog.
+    T = 128
+    iters = 300 if jax.default_backend() == "tpu" else 10
     n = hg19_bins()
     R = (n + T - 1) // T
     coords = band_coords(R)
@@ -228,6 +233,31 @@ def _cpu_fallback_reexec() -> bool:
     return True
 
 
+def _cooler_interop_check() -> str:
+    """With stock cooler importable: write a tiny .cool with our writer and
+    open it with the real package (the one external contract)."""
+    import tempfile
+
+    import cooler
+
+    from hichap_master_tpu.core import Genome
+    from hichap_master_tpu.io.cooler import write_cooler
+
+    rng = np.random.default_rng(5)
+    g = Genome({"1": 900_000, "2": 400_000})
+    res = 100_000
+    mats = {c: rng.poisson(3.0, (g.n_bins(c, res),) * 2).astype(np.float64)
+            for c in g.labels}
+    mats = {c: np.triu(m) + np.triu(m, 1).T for c, m in mats.items()}
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "t.cool")
+        write_cooler(path, g, res, mats, dtype="int")
+        c = cooler.Cooler(f"{path}::/{res}")
+        assert c.binsize == res and list(c.chromnames) == list(g.labels)
+        assert len(c.pixels()[:]) == int(c.info["nnz"])
+    return "verified"
+
+
 def main():
     _enable_compile_cache()
     # PRIMARY metric: the honest genome-wide number — block-sparse ICE over
@@ -270,6 +300,20 @@ def main():
         out["extras"]["chr1_dense_vs_cpu"] = round(tpu / cpu, 2)
     except Exception as e:  # never lose the primary metric to an extra
         out["extras"]["chr1_dense_error"] = repr(e)[:200]
+    # stock-cooler interop status (VERDICT r3 item 4): "verified" when the
+    # real package can open a file we write; otherwise the recorded reason.
+    # `pip install cooler` was attempted in this environment on 2026-08-18
+    # and fails at DNS (zero network egress); the executable substitute is
+    # tests/test_cooler_schema_audit.py (raw-h5py audit of the published
+    # schema) + the skip-if-missing tests in tests/test_cooler_interop.py.
+    try:
+        import cooler  # noqa: F401
+
+        out["extras"]["cooler_interop"] = _cooler_interop_check()
+    except ImportError:
+        out["extras"]["cooler_interop"] = (
+            "package unavailable (pip install fails: no egress); "
+            "schema audited raw via tests/test_cooler_schema_audit.py")
     # recorded multi-minute measured runs (not re-run inside the bench):
     # .perf_hg19.json — analysis suite at real hg19 sizes (perf_hg19.py);
     # .perf_e2e.json — TRUE end-to-end beds→coolers→calls (perf_e2e.py)
