@@ -53,6 +53,7 @@ def test_cli_tads(cool, tmp_path, monkeypatch):
     assert any("DI" in f for f in names), names
 
 
+@pytest.mark.slow
 def test_cli_loops(cool, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     out = str(tmp_path / "LP")

@@ -3,10 +3,12 @@
 import os
 import subprocess
 import sys
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_fullsuite_script_runs():
     env = dict(os.environ,
                PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",

@@ -87,6 +87,7 @@ def _loop_matrix(rng, n, loops, res_strength=40.0):
     return np.triu(M) + np.triu(M, 1).T
 
 
+@pytest.mark.slow
 def test_run_loops_end_to_end(tmp_path, rng):
     from hichap_master_tpu.core import Genome
     from hichap_master_tpu.io import CoolerReader, write_cooler

@@ -42,6 +42,7 @@ def _compare(host, dev, label):
                                    atol=1e-7, err_msg=f"{label} {pos}")
 
 
+@pytest.mark.slow
 def test_device_post_matches_host_single(params, monkeypatch):
     rng = np.random.default_rng(11)
     n = 512
@@ -57,6 +58,7 @@ def test_device_post_matches_host_single(params, monkeypatch):
     _compare(host, dev, "single")
 
 
+@pytest.mark.slow
 def test_device_post_matches_host_multi(params, monkeypatch):
     rng = np.random.default_rng(5)
     sizes = {"1": 512, "2": 512, "3": 384}

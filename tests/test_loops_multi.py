@@ -30,6 +30,7 @@ def params():
     return peaks_parameters(RES)
 
 
+@pytest.mark.slow
 def test_multi_matches_single(params):
     rng = np.random.default_rng(3)
     band = params["maxapart"] // RES + params["maxww"] + 1
@@ -56,6 +57,7 @@ def test_multi_matches_single(params):
     assert any_loops > 0, "synthetic loops should produce candidates"
 
 
+@pytest.mark.slow
 def test_multi_single_group_is_one_dispatch(params):
     # same sizes → one group; sanity that grouping keys collapse
     rng = np.random.default_rng(5)

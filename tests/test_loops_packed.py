@@ -51,6 +51,7 @@ def _loop_matrix(rng, n, loops):
     return np.triu(M) + np.triu(M, 1).T
 
 
+@pytest.mark.slow
 def test_packed_pcaller_matches_full(rng):
     n, res = 150, 40_000
     M = _loop_matrix(rng, n, [(30, 55), (80, 110)])

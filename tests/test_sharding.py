@@ -10,8 +10,10 @@ hichap_master_tpu/testing/sharding_check.py.
 import os
 import subprocess
 import sys
+import pytest
 
 
+@pytest.mark.slow
 def test_sharded_ops_match_single_device():
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)

@@ -176,6 +176,7 @@ def test_sparse_ice_empty_and_tiny():
     assert np.isnan(np.asarray(w)).all()
 
 
+@pytest.mark.slow
 def test_storage_wins_at_scale(rng):
     """The representability claim: banded occupancy keeps tile storage
     linear in n while dense grows quadratically."""

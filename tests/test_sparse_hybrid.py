@@ -32,6 +32,7 @@ def _upper_coo(M):
     return iu[0][nz], iu[1][nz], v[nz]
 
 
+@pytest.mark.slow
 def test_segment_sums_match_float64(rng):
     # adversarial: big positive prefix magnitude, small per-row sums —
     # a plain f32 cumsum difference loses these to cancellation
