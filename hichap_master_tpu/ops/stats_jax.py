@@ -15,6 +15,7 @@ the host path remains the default on CPU backends and under
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -192,9 +193,26 @@ def loop_post_compact_batch(resolved, bsk, bek, bsy, bey, epad, xpad, vpad,
         ns, ww=ww, e_off=e_off, x_off=x_off)
     yp = epad + xpad
 
+    # Remote-compiler guard (observed 2026-08-18): compiling the flat
+    # [G*P2] segmented lexsort past ~2^22 elements wedges/OOM-kills the
+    # tunneled TPU compile service — the request never returns and the
+    # whole pipeline hangs.  Past the cap, loop the per-chromosome [P2]
+    # program instead (identical per-segment results; it is the program
+    # every single-chromosome path already compiles and caches).  Costs
+    # ~0.15 s of dispatch per extra row over the tunnel — noise next to a
+    # >90-minute compile hang.
+    flat_max = int(os.environ.get("HICHAP_BH_FLAT_MAX", str(1 << 22)))
+    G, P2 = o.shape
+
     def flavor(bs, be):
         e, val = _flavor_e(bs, be, em, bias_xy, mask)  # elementwise: batches
-        pv, qv = poisson_bh_chunked_jax_batch(o, e, val)
+        if G > 1 and G * P2 > flat_max:
+            per = [poisson_bh_chunked_jax(o[i], e[i], val[i])
+                   for i in range(G)]
+            pv = jnp.stack([p for p, _ in per])
+            qv = jnp.stack([q for _, q in per])
+        else:
+            pv, qv = poisson_bh_chunked_jax_batch(o, e, val)
         return _flavor_compact_batch(qv, pv, val, gk, o, e, xpad, yp, sig,
                                      cap_out=cap_out)
 

@@ -154,3 +154,25 @@ def test_batch_overflow_falls_back_per_chrom(params, monkeypatch):
     for c in sizes:
         assert set(dev[c][0]) == set(host[c][0]), c
         assert set(dev[c][1]) == set(host[c][1]), c
+        assert set(dev[c][0]) == set(host[c][0]), c
+        assert set(dev[c][1]) == set(host[c][1]), c
+
+
+def test_bh_flat_cap_loops_rows_identically(rng, monkeypatch):
+    """The remote-compiler guard (HICHAP_BH_FLAT_MAX) must not change any
+    q-value: per-row poisson_bh_chunked_jax over disjoint segments equals
+    the flat segmented-sort batch program exactly."""
+    import jax.numpy as jnp
+
+    from hichap_master_tpu.ops.stats_jax import (poisson_bh_chunked_jax,
+                                                 poisson_bh_chunked_jax_batch)
+
+    G, P2 = 3, 4096
+    o = jnp.asarray(rng.poisson(4.0, (G, P2)).astype(np.float32))
+    e = jnp.asarray(rng.random((G, P2), np.float32) * 6 + 0.2)
+    val = jnp.asarray(rng.random((G, P2)) < 0.8)
+    pv_b, qv_b = poisson_bh_chunked_jax_batch(o, e, val)
+    for i in range(G):
+        pv_i, qv_i = poisson_bh_chunked_jax(o[i], e[i], val[i])
+        np.testing.assert_array_equal(np.asarray(pv_i), np.asarray(pv_b)[i])
+        np.testing.assert_array_equal(np.asarray(qv_i), np.asarray(qv_b)[i])
