@@ -93,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--fake-aligner", action="store_true", default=False,
                        help="use the deterministic FakeAligner (indexes are "
                             "FASTA paths); hermetic testing")
+        p.add_argument("--bam-format", action="store_true", default=False,
+                       help="store mapped chunks as BGZF .bam (the "
+                            "reference's workspace format) instead of SAM "
+                            "text; WS mode only")
 
     p = sub.add_parser("Rescue", parents=[common],
                        help="cut unmapped reads at ligation junctions")
@@ -255,6 +259,10 @@ def run(argv=None) -> int:
         is_global = args.command == "GlobalMapping"
         fastq = args.fastq or _ws(args, "chunks" if is_global else "rescue")
         out = args.out or _ws(args, "global" if is_global else "remap")
+        fmt = "bam" if args.bam_format else "sam"
+        if args.bam_format and args.mode == "PBS" and not args.fake_aligner:
+            raise SystemExit("--bam-format requires WS mode (PBS jobs "
+                             "run bowtie2 one-liners that emit SAM)")
         aligner = (FakeAligner() if args.fake_aligner
                    else Bowtie2Aligner(args.bowtie2Path,
                                        max(1, args.WSthreads // 4)))
@@ -266,7 +274,8 @@ def run(argv=None) -> int:
                             num_task=args.PBSthreads[0], mem_gb=args.memory,
                             log_dir=args.PBSlogfile)
             else:
-                ws_mapping(fastq, out, args.bowtieIndex, aligner=aligner)
+                ws_mapping(fastq, out, args.bowtieIndex, aligner=aligner,
+                           out_format=fmt)
         else:
             tags = (["Maternal", "Paternal"] if len(args.bowtieIndex) == 2
                     else [""])
@@ -280,7 +289,8 @@ def run(argv=None) -> int:
                                    mem_gb=args.memory,
                                    log_dir=args.PBSlogfile)
             else:
-                ws_rescue_mapping(fastq, out, idx_by_tag, aligner=aligner)
+                ws_rescue_mapping(fastq, out, idx_by_tag, aligner=aligner,
+                                  out_format=fmt)
 
     elif args.command == "Rescue":
         from .pipeline.rescue import cutting_reads_to_remapping

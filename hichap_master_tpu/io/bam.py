@@ -18,7 +18,7 @@ from __future__ import annotations
 import gzip
 import struct
 import zlib
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterable, Iterator, List, Optional, Tuple
 
 from .sam import AlnRecord
 
@@ -171,12 +171,18 @@ def _encode_record(r: AlnRecord, ref_index: Dict[str, int]) -> bytes:
     return struct.pack("<i", len(body)) + body
 
 
-def write_bam(path: str, records: List[AlnRecord],
-              references: Dict[str, int]) -> None:
-    """Spec-compliant BGZF BAM writer (fixtures / interchange)."""
+def write_bam(path: str, records: Iterable[AlnRecord],
+              references: Dict[str, int],
+              header_text: str = "") -> None:
+    """Spec-compliant BGZF BAM writer (fixtures / interchange).
+
+    ``records`` may be any iterable (it is consumed once, so chunk-sized
+    streams never materialize); ``header_text`` is an optional SAM text
+    header (e.g. ``@HD\\tVN:1.6\\tSO:queryname\\n``) embedded verbatim."""
     ref_index = {name: i for i, name in enumerate(references)}
-    header = b"BAM\x01" + struct.pack("<i", 0) + struct.pack(
-        "<i", len(references))
+    text = header_text.encode()
+    header = (b"BAM\x01" + struct.pack("<i", len(text)) + text
+              + struct.pack("<i", len(references)))
     for name, length in references.items():
         nb = name.encode() + b"\x00"
         header += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
@@ -196,6 +202,59 @@ def write_bam(path: str, records: List[AlnRecord],
         if buf:
             f.write(_bgzf_block(bytes(buf)))
         f.write(BGZF_EOF)
+
+
+def sam_to_bam(sam_path: str, bam_path: str,
+               references: Optional[Dict[str, int]] = None) -> None:
+    """Streaming SAM text → BGZF BAM conversion.
+
+    Closes the reference's workspace contract of storing ``.bam`` chunk
+    files (HiCHap/bamProcess.py:730, written by its samtools pipe at
+    mapping.py:74-78) without a samtools dependency.  Reference lengths
+    come from, in priority order: the ``references`` argument, the SAM's
+    ``@SQ`` header lines, or — since the name-sorted chunks our aligner
+    adapters emit are headerless (io/native sort drops headers) — a scan
+    of the records themselves, where each length is the observed
+    ``max(pos + len(seq))`` lower bound (sufficient for samtools
+    view/sort/index-by-name; genome browsers load their own genome).
+    """
+    from .sam import parse_sam_line
+
+    refs: Dict[str, int] = dict(references) if references else {}
+    if not refs:
+        with _open_text(sam_path) as f:
+            for line in f:
+                if line.startswith("@"):
+                    if line.startswith("@SQ"):
+                        fields = dict(p.split(":", 1) for p in
+                                      line.rstrip("\n").split("\t")[1:]
+                                      if ":" in p)
+                        if "SN" in fields:
+                            refs[fields["SN"]] = int(fields.get("LN", 0))
+                    continue
+                rec = parse_sam_line(line)
+                if rec is None or rec.reference_name is None:
+                    continue
+                end = rec.pos + max(len(rec.seq), 1)
+                if end > refs.get(rec.reference_name, 0):
+                    refs[rec.reference_name] = end
+
+    def _records():
+        with _open_text(sam_path) as f:
+            for line in f:
+                if line.startswith("@"):
+                    continue
+                rec = parse_sam_line(line)
+                if rec is not None:
+                    yield rec
+
+    write_bam(bam_path, _records(), refs,
+              header_text="@HD\tVN:1.6\tSO:queryname\n")
+
+
+def _open_text(path: str):
+    return (gzip.open(path, "rt") if str(path).endswith(".gz")
+            else open(path, "r"))
 
 
 def bam_to_sam(bam_path: str, sam_path: str) -> None:

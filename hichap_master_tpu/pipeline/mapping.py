@@ -293,12 +293,33 @@ def _map_one(aligner, index: str, fq: str, out_sam: str) -> str:
     return aligner.map_chunk(index, fq, out_sam)
 
 
+def _map_one_bam(aligner, index: str, fq: str, out_bam: str) -> str:
+    """Map to name-sorted SAM, then store the chunk as BGZF BAM — the
+    reference's workspace keeps ``.bam`` chunks (bamProcess.py:730); with
+    ``--bam-format`` ours does too, so external tools (samtools, IGV)
+    pointed at Global_bams/ReMap_bams find real BAMs."""
+    from ..io.bam import sam_to_bam
+    tmp_sam = out_bam[:-4] + ".tobam.tmp"
+    aligner.map_chunk(index, fq, tmp_sam)
+    tmp_bam = out_bam + ".tmp"
+    sam_to_bam(tmp_sam, tmp_bam)
+    os.replace(tmp_bam, out_bam)
+    os.remove(tmp_sam)
+    return out_bam
+
+
 def ws_mapping(fastq_dir: str, out_dir: str, indexes: Sequence[str],
                aligner=None, threads: int = 16, jobs: int = 4,
-               index_tags: Optional[Sequence[str]] = None) -> List[str]:
+               index_tags: Optional[Sequence[str]] = None,
+               out_format: str = "sam") -> List[str]:
     """WS-mode mapping of every chunk against each index
     (mapping.py:94-187).  ``indexes`` has two entries (Maternal, Paternal)
-    in allelic mode or one otherwise; output files carry the index tag."""
+    in allelic mode or one otherwise; output files carry the index tag.
+    ``out_format="bam"`` stores chunks as BGZF BAM (the reference's
+    workspace format, bamProcess.py:730); downstream stages read either."""
+    if out_format not in ("sam", "bam"):
+        raise ValueError(f"out_format must be 'sam' or 'bam', "
+                         f"got {out_format!r}")
     os.makedirs(out_dir, exist_ok=True)
     if aligner is None:
         aligner = Bowtie2Aligner(threads=max(1, threads // jobs))
@@ -314,15 +335,16 @@ def ws_mapping(fastq_dir: str, out_dir: str, indexes: Sequence[str],
         else:
             index_tags = tuple(os.path.basename(str(i)) for i in indexes)
 
+    map_fn = _map_one_bam if out_format == "bam" else _map_one
     tasks = []
     outs = []
     for f in chunks:
         fq = os.path.join(fastq_dir, f)
         stem = f.split(".")[0]
         for idx, tag in zip(indexes, index_tags):
-            out_sam = os.path.join(out_dir, f"{stem}_{tag}.sam")
-            tasks.append(Task(_map_one, (aligner, idx, fq, out_sam), out_sam))
-            outs.append(out_sam)
+            out_aln = os.path.join(out_dir, f"{stem}_{tag}.{out_format}")
+            tasks.append(Task(map_fn, (aligner, idx, fq, out_aln), out_aln))
+            outs.append(out_aln)
     RetryingExecutor(workers=jobs).run(tasks)
     log.log(21, "WS mapping: %d task(s) complete", len(tasks))
     return outs
@@ -346,20 +368,27 @@ def _rescue_jobs(rescue_dir: str, out_dir: str, index_by_tag):
 def ws_rescue_mapping(rescue_dir: str, out_dir: str,
                       index_by_tag: Dict[str, object],
                       aligner_by_tag: Optional[Dict[str, object]] = None,
-                      aligner=None, jobs: int = 4) -> List[str]:
+                      aligner=None, jobs: int = 4,
+                      out_format: str = "sam") -> List[str]:
     """Re-map rescue FASTQs, each against its own genome
     (mapping.py:644-712).  ``index_by_tag`` maps a filename tag (e.g.
     ``Maternal``/``Paternal``, or "" for non-allelic) to the index; rescue
     files are ``*_<tag>_unmapped.fq`` and emit ``*_<tag>.sam``."""
+    if out_format not in ("sam", "bam"):
+        raise ValueError(f"out_format must be 'sam' or 'bam', "
+                         f"got {out_format!r}")
     os.makedirs(out_dir, exist_ok=True)
+    map_fn = _map_one_bam if out_format == "bam" else _map_one
     tasks: List[Task] = []
     outs: List[str] = []
     for fq, out_sam, idx, tag in _rescue_jobs(rescue_dir, out_dir,
                                               index_by_tag):
+        if out_format == "bam":
+            out_sam = out_sam[:-4] + ".bam"
         al = (aligner_by_tag or {}).get(tag, aligner)
         if al is None:
             al = Bowtie2Aligner()
-        tasks.append(Task(_map_one, (al, idx, fq, out_sam), out_sam))
+        tasks.append(Task(map_fn, (al, idx, fq, out_sam), out_sam))
         outs.append(out_sam)
     # Rescue outputs may legitimately be tiny (few unmapped reads):
     # validate existence only, but keep the same retry loop as global
