@@ -156,6 +156,54 @@ def pad_blocks(bm: BlockMatrix, multiple: int) -> BlockMatrix:
 
 
 # --------------------------------------------------------------- device ops
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _df_combine(x, y):
+    """Double-float addition (associative to ~2^-48); see
+    ops.sparse_hybrid for the original derivation and failure mode it
+    guards against (boundary differencing of long f32 prefixes)."""
+    xh, xl = x
+    yh, yl = y
+    s, e = _two_sum(xh, yh)
+    e = e + xl + yl
+    hi = s + e
+    return hi, e - (hi - s)
+
+
+def _segsum_scan(data: jnp.ndarray, seg: jnp.ndarray, R: int) -> jnp.ndarray:
+    """[K, T] contributions with arbitrary segment ids -> [R, T] via
+    sort + compensated inclusive prefix + boundary differencing.
+
+    Traffic-motivated alternative to the one-hot matmul: at hg19 10 kb
+    (K ~ 9.5k tiles, R ~ 2.4k block rows) each one-hot reduction reads a
+    ~90 MB [R, K] f32 operand per marginal (and burns 6-pass HIGHEST MXU
+    time); this form moves only a few [K, T] copies (~5 MB each) through
+    a gather, a log-depth scan, and two [R+1, T] row gathers.  The sort
+    aux (argsort + searchsorted) depends only on the loop-invariant block
+    coordinates, so XLA's while-loop LICM hoists it out of the balancing
+    loop.  Compensation matters: segment sums come from differences of a
+    prefix whose magnitude is the whole-genome marginal mass (~1e8+ at
+    production coverage) — a plain f32 prefix loses them to cancellation
+    (same measured failure the hybrid scattered-COO path designs around).
+    """
+    K, T = data.shape
+    perm = jnp.argsort(seg)
+    bounds = jnp.searchsorted(
+        seg[perm], jnp.arange(R + 1, dtype=seg.dtype)).astype(jnp.int32)
+    d = data[perm]
+    hi, lo = jax.lax.associative_scan(
+        _df_combine, (d, jnp.zeros_like(d)), axis=0)
+    z = jnp.zeros((1, T), data.dtype)
+    ph = jnp.concatenate([z, hi])
+    pl = jnp.concatenate([z, lo])
+    return (ph[bounds[1:]] - ph[bounds[:-1]]) + (
+        pl[bounds[1:]] - pl[bounds[:-1]])
+
+
 def _segsum(data: jnp.ndarray, seg: jnp.ndarray, R: int,
             reduce: str) -> jnp.ndarray:
     """[K, T] contributions -> [R, T] block rows."""
@@ -163,7 +211,23 @@ def _segsum(data: jnp.ndarray, seg: jnp.ndarray, R: int,
         oh = (seg[None, :] == jnp.arange(R, dtype=seg.dtype)[:, None])
         return jnp.dot(oh.astype(data.dtype), data,
                        precision=jax.lax.Precision.HIGHEST)
+    if reduce == "scan":
+        return _segsum_scan(data, seg, R)
     return jax.ops.segment_sum(data, seg, num_segments=R)
+
+
+def _resolve_reduce() -> str:
+    """Single-chip default reduction strategy (env-overridable for A/B
+    measurement runs without code edits)."""
+    import os
+
+    env = os.environ.get("HICHAP_ICE_REDUCE", "")
+    if env in ("onehot", "scan", "scatter", "pallas"):
+        return env
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("HICHAP_PALLAS_ICE", "0") == "1"):
+        return "pallas"
+    return "onehot"
 
 
 @functools.partial(jax.jit, static_argnames=("R", "T", "reduce"))
@@ -225,14 +289,17 @@ def sparse_ice_balance(tiles: jnp.ndarray, brow: jnp.ndarray,
     Returns (weights [R*T], stats); weights NaN at filtered bins.
 
     reduce : block-row reduction strategy. ``None`` (default) resolves to
-    ``"onehot"`` — XLA fuses both triangle contractions into one tile
-    stream and the one-hot reduction rides the MXU, measured 631-805
-    marginals/s at hg19 10 kb (2.4x the Pallas attempt; see
-    kernels/pallas_sparse_ice.py).  ``HICHAP_PALLAS_ICE=1`` opts into the
-    Pallas kernel on TPU for comparison runs; the sharded multi-chip path
-    (parallel/sharding.sharded_sparse_ice) pins ``"onehot"`` because GSPMD
-    partitions that matmul contraction into a clean psum over the tile
-    axis.
+    ``HICHAP_ICE_REDUCE`` if set (``onehot`` / ``scan`` / ``scatter`` /
+    ``pallas``), else ``"onehot"`` — XLA fuses both triangle contractions
+    into one tile stream and the one-hot reduction rides the MXU, measured
+    631-805 marginals/s at hg19 10 kb (2.4x the Pallas attempt; see
+    kernels/pallas_sparse_ice.py).  ``"scan"`` replaces the ~90 MB one-hot
+    operand per reduction with a compensated prefix over permuted [K, T]
+    contributions (see ``_segsum_scan``).  ``HICHAP_PALLAS_ICE=1`` opts
+    into the Pallas kernel on TPU for comparison runs; the sharded
+    multi-chip path (parallel/sharding.sharded_sparse_ice) pins
+    ``"onehot"`` because GSPMD partitions that matmul contraction into a
+    clean psum over the tile axis.
 
     fast : iterate with bfloat16-stored tiles, float32 accumulation (same
     trade as ``ops.balance.ice_balance(fast=True)``: ~2x less HBM traffic
@@ -240,11 +307,7 @@ def sparse_ice_balance(tiles: jnp.ndarray, brow: jnp.ndarray,
     state stay float32).
     """
     if reduce is None:
-        import os
-
-        reduce = ("pallas" if jax.default_backend() == "tpu"
-                  and os.environ.get("HICHAP_PALLAS_ICE", "0") == "1"
-                  else "onehot")
+        reduce = _resolve_reduce()
     dtype = tiles.dtype
     N = R * T
 

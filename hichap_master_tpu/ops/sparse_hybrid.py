@@ -370,6 +370,8 @@ def ice_balance_hybrid(h: HybridGW, **kw):
             f"hybrid layout built with ignore_diags={h.ignore_diags}; "
             f"rebuild it to balance with ignore_diags={want}")
     kw.setdefault("ignore_diags", h.ignore_diags)
+    from .sparse import _resolve_reduce
+    kw.setdefault("reduce", _resolve_reduce())
     bm = h.bm
     N = bm.R * bm.T
     bounds = np.full(N + 1, h.bounds[-1], np.int32)

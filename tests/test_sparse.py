@@ -60,7 +60,7 @@ def test_roundtrip_coo(rng):
     np.testing.assert_array_equal(D, np.triu(M))
 
 
-@pytest.mark.parametrize("reduce", ["onehot", "scatter"])
+@pytest.mark.parametrize("reduce", ["onehot", "scatter", "scan"])
 def test_matvec_matches_dense(rng, reduce):
     n = 317  # not a multiple of T
     M = _banded_sym(rng, n)
@@ -89,6 +89,39 @@ def test_sparse_ice_matches_dense(rng):
     m = ~np.isnan(w_d)
     np.testing.assert_allclose(w_s[m], w_d[m], rtol=1e-8)
     assert int(st_s["iters"]) == int(st_d["iters"])
+
+
+def test_scan_reduce_survives_large_prefix_magnitude(rng):
+    """The compensated prefix must recover small segment sums sitting on a
+    ~1e8 running total — the exact cancellation that kills a plain f32
+    cumsum (measured; see ops/sparse_hybrid.py)."""
+    from hichap_master_tpu.ops.sparse import _segsum_scan
+
+    K, T, R = 4096, 8, 64
+    data = (rng.uniform(0.0, 1e5, (K, T)) + 1.0).astype(np.float32)
+    seg = np.sort(rng.integers(0, R, K)).astype(np.int32)
+    got = np.asarray(_segsum_scan(jnp.asarray(data), jnp.asarray(seg), R))
+    want = np.zeros((R, T))
+    np.add.at(want, seg, data.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=2e-6)
+    # unsorted segment ids take the same path through the argsort
+    perm = rng.permutation(K)
+    got_u = np.asarray(_segsum_scan(jnp.asarray(data[perm]),
+                                    jnp.asarray(seg[perm]), R))
+    np.testing.assert_allclose(got_u, want, rtol=2e-6)
+
+
+def test_sparse_ice_scan_reduce_matches_onehot(rng):
+    n = 400
+    M = _banded_sym(rng, n, band=80)
+    bm = blocks_from_dense(M.astype(np.float32), T=128)
+    w_o, st_o = ice_balance_blocks(bm, reduce="onehot")
+    w_s, st_s = ice_balance_blocks(bm, reduce="scan")
+    w_o, w_s = np.asarray(w_o), np.asarray(w_s)
+    np.testing.assert_array_equal(np.isnan(w_o), np.isnan(w_s))
+    m = ~np.isnan(w_o)
+    np.testing.assert_allclose(w_s[m], w_o[m], rtol=1e-5)
+    assert abs(int(st_s["iters"]) - int(st_o["iters"])) <= 1
 
 
 def test_sparse_ice_padded_tiles_no_effect(rng):

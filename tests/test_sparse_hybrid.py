@@ -82,6 +82,18 @@ def test_hybrid_ice_matches_dense(rng, min_tile_occ):
     np.testing.assert_allclose(w_h[m], w_d[m], rtol=2e-4)
 
 
+def test_hybrid_ice_scan_reduce_matches_onehot(rng):
+    n = 300
+    M = _mixed_matrix(rng, n)
+    h = hybrid_from_coo(*_upper_coo(M), n, T=64, min_tile_occ=64)
+    w_o, _ = ice_balance_hybrid(h, max_iters=60, tol=0.0, reduce="onehot")
+    w_s, _ = ice_balance_hybrid(h, max_iters=60, tol=0.0, reduce="scan")
+    w_o, w_s = np.asarray(w_o), np.asarray(w_s)
+    np.testing.assert_array_equal(np.isnan(w_o), np.isnan(w_s))
+    m = ~np.isnan(w_o)
+    np.testing.assert_allclose(w_s[m], w_o[m], rtol=1e-5)
+
+
 def test_hybrid_uint16_storage_matches_f32(rng):
     # integer counts fitting uint16 are STORED uint16 (half the host->
     # device wire) and cast to f32 on device; results must be identical
