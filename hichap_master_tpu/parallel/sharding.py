@@ -184,7 +184,7 @@ def shard_hybrid_layout(h, n_devices: int):
 def sharded_hybrid_ice(mesh: Mesh, R: int, T: int, *, ignore_diags: int = 1,
                        mad_max: int = 5, min_nnz: int = 10,
                        min_count: int = 0, tol: float = 1e-5,
-                       max_iters: int = 200):
+                       max_iters: int = 200, reduce: str = "onehot"):
     """The PRODUCTION genome-wide 10 kb weights path
     (ops/sparse_hybrid.hybrid_ice_balance, used by
     pipeline/matrix._write_weights) over a device mesh.
@@ -199,6 +199,15 @@ def sharded_hybrid_ice(mesh: Mesh, R: int, T: int, *, ignore_diags: int = 1,
     testing/sharding_check.py.  Replaces the reference's host-bound
     ``cooler balance`` subprocess (HiCHap/matrixBuilding.py:706-714), which
     cannot reach genome-wide 10 kb at all.
+
+    ``reduce`` selects the per-shard tile block-row reduction (``"onehot"``
+    or ``"scan"``): inside the shard_map region both are pure per-device
+    computations over the local tile shard producing a [R*T] partial that
+    the explicit ``psum`` combines, so the compensated-scan strategy shards
+    exactly as cleanly here as the one-hot matmul (unlike the GSPMD
+    auto-partitioned ``sharded_sparse_ice``, where the scan's
+    data-dependent gathers would force all-gathers and ``"onehot"`` stays
+    pinned).
 
     Call via: fn(tiles, brow, bcol, sc_cols, sc_vals, lbounds, sc_nnz, n)
     with arrays from ``shard_hybrid_layout``.
@@ -224,7 +233,7 @@ def sharded_hybrid_ice(mesh: Mesh, R: int, T: int, *, ignore_diags: int = 1,
         out_specs=P())
     def _marg(tiles, brow, bcol, sc_cols, sc_vals, lbounds, b):
         y = block_sym_matvec(tiles, brow, bcol, b, R=R, T=T,
-                             reduce="onehot")
+                             reduce=reduce)
         y = y + _segment_sums(sc_vals * b[sc_cols], lbounds[0])
         return jax.lax.psum(y, flat)
 
@@ -235,7 +244,7 @@ def sharded_hybrid_ice(mesh: Mesh, R: int, T: int, *, ignore_diags: int = 1,
     def _mv_tiles(tiles, brow, bcol, b):
         return jax.lax.psum(
             block_sym_matvec(tiles, brow, bcol, b, R=R, T=T,
-                             reduce="onehot"), flat)
+                             reduce=reduce), flat)
 
     def fn(tiles, brow, bcol, sc_cols, sc_vals, lbounds, sc_nnz, n):
         if not jnp.issubdtype(tiles.dtype, jnp.floating):

@@ -230,6 +230,19 @@ def main() -> int:
     assert int(np.asarray(st_h["iters"])) == int(np.asarray(st_ref["iters"]))
     print("OK sharded hybrid ICE matches single-device")
 
+    # same path with the compensated-scan reduction: per-shard segment
+    # sums + psum must match the single-device onehot fixed point
+    hice_s = sharded_hybrid_ice(mesh, bm_h.R, bm_h.T, max_iters=30,
+                                tol=1e-6, reduce="scan")
+    w_hs, st_hs = hice_s(jnp.asarray(bm_h.tiles), jnp.asarray(bm_h.brow),
+                         jnp.asarray(bm_h.bcol), jnp.asarray(scc),
+                         jnp.asarray(scv), jnp.asarray(lb),
+                         jnp.asarray(snz), jnp.asarray(n_h))
+    w_hs = np.asarray(w_hs)[:n_h]
+    np.testing.assert_array_equal(np.isnan(w_hs), np.isnan(w_ref))
+    np.testing.assert_allclose(w_hs[mk], w_ref[mk], rtol=1e-4)
+    print("OK sharded hybrid ICE (scan reduce) matches single-device")
+
     # --- sharded TAD Baum-Welch (nested while_loop under GSPMD) -----------
     from hichap_master_tpu.models.tads import init_parameters
     from hichap_master_tpu.ops.hmm import _baum_welch_device, _pad_sequences
