@@ -41,29 +41,44 @@ sleep 5
 probe || { log "probe 2 failed — aborting"; exit 1; }
 log "tunnel OK"
 
-log "=== perf_hg19 WARMUP (pays compile debt; no timeout) ==="
-HICHAP_LOOP_PHASE_TIMING=1 python scripts/perf_hg19.py
-rc=$?
-log "warmup rc=$rc"
-if [ $rc -ne 0 ]; then
-    log "warmup failed — stopping before medians"
-    exit 1
+# Every stage below is skip-if-done (per-run records in /tmp survive a
+# mid-campaign tunnel death), so the waiter can relaunch this script until
+# it prints ALL DONE without re-measuring completed samples.
+
+if [ -f /tmp/perf_hg19_warmup.done ]; then
+    log "warmup already done — skip"
+else
+    log "=== perf_hg19 WARMUP (pays compile debt; no timeout) ==="
+    HICHAP_LOOP_PHASE_TIMING=1 python scripts/perf_hg19.py
+    rc=$?
+    log "warmup rc=$rc"
+    if [ $rc -ne 0 ]; then
+        log "warmup failed — stopping before medians"
+        exit 1
+    fi
+    touch /tmp/perf_hg19_warmup.done
 fi
 
 log "=== TIMED: 5 phase-instrumented full-suite samples ==="
 for i in 1 2 3 4 5; do
+    [ -f /tmp/perf_hg19_phased_run$i.json ] && { log "phased run $i recorded — skip"; continue; }
     log "--- phased run $i ---"
     HICHAP_LOOP_PHASE_TIMING=1 python scripts/perf_hg19.py
-    log "phased run$i rc=$?"
-    cp "$HERE/.perf_hg19.json" /tmp/perf_hg19_phased_run$i.json 2>/dev/null
+    rc=$?
+    log "phased run$i rc=$rc"
+    [ $rc -eq 0 ] && cp "$HERE/.perf_hg19.json" /tmp/perf_hg19_phased_run$i.json 2>/dev/null
+    [ $rc -ne 0 ] && exit 1
 done
 
 log "=== TIMED: 3 plain full-suite samples (instrumentation control) ==="
 for i in 1 2 3; do
+    [ -f /tmp/perf_hg19_plain_run$i.json ] && { log "plain run $i recorded — skip"; continue; }
     log "--- plain run $i ---"
     python scripts/perf_hg19.py
-    log "plain run$i rc=$?"
-    cp "$HERE/.perf_hg19.json" /tmp/perf_hg19_plain_run$i.json 2>/dev/null
+    rc=$?
+    log "plain run$i rc=$rc"
+    [ $rc -eq 0 ] && cp "$HERE/.perf_hg19.json" /tmp/perf_hg19_plain_run$i.json 2>/dev/null
+    [ $rc -ne 0 ] && exit 1
 done
 
 python - "$HERE" <<'EOF'
@@ -103,13 +118,16 @@ log "=== TRUE e2e ON THE CHIP: bed generation (untimed setup, ~13 min) ==="
 export PERF_E2E_BED=/tmp/e2e_bed_r4/rep1
 log "=== TIMED: 3 e2e runs ==="
 for i in 1 2 3; do
+    [ -f /tmp/perf_e2e_run$i.json ] && { log "e2e run $i recorded — skip"; continue; }
     log "--- e2e run $i ---"
     python scripts/perf_e2e.py
-    log "e2e run$i rc=$?"
-    cp "$HERE/.perf_e2e.json" /tmp/perf_e2e_run$i.json 2>/dev/null
+    rc=$?
+    log "e2e run$i rc=$rc"
+    [ $rc -eq 0 ] && cp "$HERE/.perf_e2e.json" /tmp/perf_e2e_run$i.json 2>/dev/null
     # per-run output coolers (several GB); dirs only — keeps the
     # /tmp/perf_e2e_run*.json sample records
     find /tmp -maxdepth 1 -type d -name 'perf_e2e_*' -exec rm -rf {} +
+    [ $rc -ne 0 ] && exit 1
 done
 python - "$HERE" <<'EOF'
 import json, statistics, sys
@@ -138,11 +156,14 @@ publish
 log "=== TRUE diploid e2e ON THE CHIP (2 runs; bed gen untimed) ==="
 export PERF_HAP_BED=/tmp/hap_bed_r4/rep1
 for i in 1 2; do
+    [ -f /tmp/perf_e2e_hap_run$i.json ] && { log "hap run $i recorded — skip"; continue; }
     log "--- hap e2e run $i ---"
     python scripts/perf_e2e_hap.py
-    log "hap e2e run$i rc=$?"
-    cp "$HERE/.perf_e2e_hap.json" /tmp/perf_e2e_hap_run$i.json 2>/dev/null
+    rc=$?
+    log "hap e2e run$i rc=$rc"
+    [ $rc -eq 0 ] && cp "$HERE/.perf_e2e_hap.json" /tmp/perf_e2e_hap_run$i.json 2>/dev/null
     rm -rf /tmp/perf_hap_out_*
+    [ $rc -ne 0 ] && exit 1
 done
 python - "$HERE" <<'EOF'
 import json, statistics, sys
