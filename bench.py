@@ -85,8 +85,9 @@ def tpu_iters_per_sec() -> float:
     rates = []
     for _ in range(3):
         t0 = time.perf_counter()
-        _, iters = run()
-        rates.append(float(iters) / (time.perf_counter() - t0))
+        # NOTE: do not rebind `iters` — run() closes over it as max_iters
+        _, it_done = run()
+        rates.append(float(it_done) / (time.perf_counter() - t0))
     return sorted(rates)[1]
 
 
@@ -314,6 +315,8 @@ def main():
         out["extras"]["cooler_interop"] = (
             "package unavailable (pip install fails: no egress); "
             "schema audited raw via tests/test_cooler_schema_audit.py")
+    except Exception as e:  # never lose the primary metric to an extra
+        out["extras"]["cooler_interop"] = f"check failed: {e!r}"[:200]
     # recorded multi-minute measured runs (not re-run inside the bench):
     # .perf_hg19.json — analysis suite at real hg19 sizes (perf_hg19.py);
     # .perf_e2e.json — TRUE end-to-end beds→coolers→calls (perf_e2e.py)

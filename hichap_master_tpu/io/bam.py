@@ -232,6 +232,16 @@ def sam_to_bam(sam_path: str, bam_path: str,
                         if "SN" in fields:
                             refs[fields["SN"]] = int(fields.get("LN", 0))
                     continue
+                # past the header: a record whose reference an @SQ line
+                # already sized needs no parse (its LN dominates the
+                # max(pos+len) bound) — a cheap 4-field split filters
+                # those, so a fully-@SQ-headered multi-GB SAM costs one
+                # split per line here instead of a second full parse pass
+                # (review find).  Partially-headered SAMs (FakeAligner
+                # chunks) still pick up their unheadered references.
+                head = line.split("\t", 4)
+                if len(head) > 3 and refs.get(head[2], 0) > 0:
+                    continue
                 rec = parse_sam_line(line)
                 if rec is None or rec.reference_name is None:
                     continue

@@ -163,9 +163,11 @@ def _two_sum(a, b):
 
 
 def _df_combine(x, y):
-    """Double-float addition (associative to ~2^-48); see
-    ops.sparse_hybrid for the original derivation and failure mode it
-    guards against (boundary differencing of long f32 prefixes)."""
+    """Double-float addition (associative to ~2^-48): carries the rounding
+    error of the running prefix so boundary differencing of long f32
+    prefixes stays exact to ~1e-7 relative.  Canonical home of the
+    compensated machinery — ops.sparse_hybrid imports it for the
+    scattered-COO marginal."""
     xh, xl = x
     yh, yl = y
     s, e = _two_sum(xh, yh)
@@ -268,11 +270,6 @@ def block_sym_matvec(tiles: jnp.ndarray, brow: jnp.ndarray,
     return y.reshape(R * T)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("R", "T", "ignore_diags", "mad_max", "min_nnz",
-                     "min_count", "tol", "max_iters", "reduce", "fast"),
-)
 def sparse_ice_balance(tiles: jnp.ndarray, brow: jnp.ndarray,
                        bcol: jnp.ndarray, n: jnp.ndarray, *,
                        R: int, T: int, ignore_diags: int = 1,
@@ -306,8 +303,27 @@ def sparse_ice_balance(tiles: jnp.ndarray, brow: jnp.ndarray,
     against ~1e-3 relative weight deviation — filters and convergence
     state stay float32).
     """
+    # env resolution happens OUT here, before the jit boundary: the jitted
+    # core's cache keys on the RESOLVED strategy, so flipping
+    # HICHAP_ICE_REDUCE between calls takes effect (a review find — with
+    # resolution inside the traced body, reduce=None was the cache key and
+    # the first call's strategy stuck for the process lifetime)
     if reduce is None:
         reduce = _resolve_reduce()
+    return _sparse_ice_balance_jit(
+        tiles, brow, bcol, n, R=R, T=T, ignore_diags=ignore_diags,
+        mad_max=mad_max, min_nnz=min_nnz, min_count=min_count, tol=tol,
+        max_iters=max_iters, reduce=reduce, fast=fast)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("R", "T", "ignore_diags", "mad_max", "min_nnz",
+                     "min_count", "tol", "max_iters", "reduce", "fast"),
+)
+def _sparse_ice_balance_jit(tiles, brow, bcol, n, *, R, T, ignore_diags,
+                            mad_max, min_nnz, min_count, tol, max_iters,
+                            reduce, fast):
     dtype = tiles.dtype
     N = R * T
 

@@ -180,22 +180,10 @@ def hybrid_from_coo(rows, cols, vals, n: int, T: int = 128,
 
 
 # ------------------------------------------------ compensated prefix sums
-def _two_sum(a, b):
-    s = a + b
-    bb = s - a
-    return s, (a - (s - bb)) + (b - bb)
-
-
-def _df_combine(x, y):
-    """Double-float addition (associative to ~2^-48): carries the rounding
-    error of the running prefix so segment differences of a 10^8-element
-    f32 prefix stay exact to ~1e-7 relative."""
-    xh, xl = x
-    yh, yl = y
-    s, e = _two_sum(xh, yh)
-    e = e + xl + yl
-    hi = s + e
-    return hi, e - (hi - s)
+# _two_sum/_df_combine live in ops.sparse (shared with its scan reduction);
+# re-exported here because this module's docstrings/tests reference them as
+# the double-float machinery of the scattered-COO marginal.
+from .sparse import _df_combine, _two_sum  # noqa: E402,F401
 
 
 def _comp_prefix(x: jnp.ndarray):

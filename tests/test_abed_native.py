@@ -47,6 +47,19 @@ def test_native_matches_pandas_encoder(tmp_path, rng):
         np.testing.assert_array_equal(n_cols[c], p_cols[c], err_msg=str(c))
 
 
+def test_pandas_fallback_handles_all_15_col_bed(tmp_path, rng):
+    # no candidate rows anywhere: pandas' C engine rejects usecols indices
+    # past the physical width (review find) — the fallback must re-read
+    # full-width, and decode identically to the native path
+    bed = _mk_bed(tmp_path / "no_cand.bed", rng, n=50, cand_frac=0.0)
+    p_cols, p_labels = _load_frame_pandas(bed)
+    n_cols, n_labels = load_allelic_bed(bed)
+    assert sorted(n_labels) == sorted(p_labels)
+    assert (p_cols[15] == -1).all() and (p_cols[22] == 0).all()
+    for c in (3, 5, 6, 7, 10, 12, 13, 14, 17, 19, 20, 21, 22):
+        np.testing.assert_array_equal(n_cols[c], p_cols[c], err_msg=str(c))
+
+
 def test_native_rejects_ragged_width(tmp_path, rng):
     bad = tmp_path / "bad.bed"
     good = "\t".join(["p1", "1", "0", "5", "100", "-3", "4000", "1",
