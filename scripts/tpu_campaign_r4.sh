@@ -1,16 +1,19 @@
 #!/bin/bash
 # TPU measurement campaign (round 4). Addresses VERDICT r3 items 1+2:
-#   * full-suite median of >=5 runs WITH per-run device-vs-link phase split
-#     (plus 3 uninstrumented control runs to bound instrumentation overhead)
 #   * TRUE e2e (beds -> coolers -> calls) median of >=3 runs ON THE CHIP
+#     — VERDICT's top_next, so it runs FIRST (a short tunnel window must
+#     yield the most important number; e2e run 1 doubles as its own
+#     warmup and the 3-sample median lands on a warm run)
 #   * TRUE diploid e2e re-confirmed (2 runs) in the same session
+#   * full-suite median of >=5 runs WITH per-run device-vs-link phase
+#     split (plus 3 uninstrumented control runs to bound instrumentation
+#     overhead)
 #
 # Run UNATTENDED from a git-worktree snapshot so concurrent development in
-# /root/repo cannot change what is being measured mid-campaign:
-#   git worktree add /root/repo/.campaign/wt HEAD
-#   ln -s /root/repo/.jax_cache /root/repo/.campaign/wt/.jax_cache
-#   nohup bash /root/repo/.campaign/wt/scripts/tpu_campaign_r4.sh \
-#       > /tmp/tpu_campaign_r4.log 2>&1 &
+# /root/repo cannot change what is being measured mid-campaign; launched
+# by scripts/tpu_wait_and_run.sh, which gates on TWO consecutive probe
+# successes (no probe here — a failed stage exits nonzero and the waiter
+# re-polls and relaunches; every stage is skip-if-done via /tmp records).
 #
 # One TPU process at a time; nothing else may run on the host while a
 # "TIMED" phase is in flight (the 1-core host inflates contended walls
@@ -28,95 +31,8 @@ publish() {
     log "published perf records to $MAIN"
 }
 
-probe() {
-    timeout 240 python - <<'EOF' >/dev/null 2>&1
-import jax, jax.numpy as jnp, numpy as np
-assert float(np.asarray(jnp.arange(8.0) * 2)[-1]) == 14.0
-EOF
-}
-
-log "=== tunnel probe (2 consecutive required) ==="
-probe || { log "probe 1 failed — aborting"; exit 1; }
-sleep 5
-probe || { log "probe 2 failed — aborting"; exit 1; }
-log "tunnel OK"
-
-# Every stage below is skip-if-done (per-run records in /tmp survive a
-# mid-campaign tunnel death), so the waiter can relaunch this script until
-# it prints ALL DONE without re-measuring completed samples.
-
-if [ -f /tmp/perf_hg19_warmup.done ]; then
-    log "warmup already done — skip"
-else
-    log "=== perf_hg19 WARMUP (pays compile debt; no timeout) ==="
-    HICHAP_LOOP_PHASE_TIMING=1 python scripts/perf_hg19.py
-    rc=$?
-    log "warmup rc=$rc"
-    if [ $rc -ne 0 ]; then
-        log "warmup failed — stopping before medians"
-        exit 1
-    fi
-    touch /tmp/perf_hg19_warmup.done
-fi
-
-log "=== TIMED: 5 phase-instrumented full-suite samples ==="
-for i in 1 2 3 4 5; do
-    [ -f /tmp/perf_hg19_phased_run$i.json ] && { log "phased run $i recorded — skip"; continue; }
-    log "--- phased run $i ---"
-    HICHAP_LOOP_PHASE_TIMING=1 python scripts/perf_hg19.py
-    rc=$?
-    log "phased run$i rc=$rc"
-    [ $rc -eq 0 ] && cp "$HERE/.perf_hg19.json" /tmp/perf_hg19_phased_run$i.json 2>/dev/null
-    [ $rc -ne 0 ] && exit 1
-done
-
-log "=== TIMED: 3 plain full-suite samples (instrumentation control) ==="
-for i in 1 2 3; do
-    [ -f /tmp/perf_hg19_plain_run$i.json ] && { log "plain run $i recorded — skip"; continue; }
-    log "--- plain run $i ---"
-    python scripts/perf_hg19.py
-    rc=$?
-    log "plain run$i rc=$rc"
-    [ $rc -eq 0 ] && cp "$HERE/.perf_hg19.json" /tmp/perf_hg19_plain_run$i.json 2>/dev/null
-    [ $rc -ne 0 ] && exit 1
-done
-
-python - "$HERE" <<'EOF'
-import json, statistics, sys
-here = sys.argv[1]
-phased, plain, phases = [], [], []
-for i in range(1, 6):
-    try:
-        r = json.load(open(f"/tmp/perf_hg19_phased_run{i}.json"))
-        phased.append(r["total_s"])
-        phases.append(r.get("loops_phases"))
-    except Exception:
-        pass
-for i in range(1, 4):
-    try:
-        plain.append(json.load(
-            open(f"/tmp/perf_hg19_plain_run{i}.json"))["total_s"])
-    except Exception:
-        pass
-print("phased samples:", phased)
-print("plain samples:", plain)
-if len(phased) >= 3:
-    rec = json.load(open(f"{here}/.perf_hg19.json"))
-    rec["median_total_s"] = round(statistics.median(phased), 1)
-    rec["sample_totals_s"] = phased
-    rec["plain_sample_totals_s"] = plain
-    if plain:
-        rec["plain_median_total_s"] = round(statistics.median(plain), 1)
-    rec["per_run_loops_phases"] = phases
-    json.dump(rec, open(f"{here}/.perf_hg19.json", "w"))
-    print("median recorded:", rec["median_total_s"],
-          "plain:", rec.get("plain_median_total_s"))
-EOF
-publish
-
-log "=== TRUE e2e ON THE CHIP: bed generation (untimed setup, ~13 min) ==="
+log "=== TRUE e2e ON THE CHIP (VERDICT top_next; bed gen ~13 min untimed, run 1 pays compile debt) ==="
 export PERF_E2E_BED=/tmp/e2e_bed_r4/rep1
-log "=== TIMED: 3 e2e runs ==="
 for i in 1 2 3; do
     [ -f /tmp/perf_e2e_run$i.json ] && { log "e2e run $i recorded — skip"; continue; }
     log "--- e2e run $i ---"
@@ -185,8 +101,87 @@ if recs:
 EOF
 publish
 
+if [ -f /tmp/perf_hg19_warmup.done ]; then
+    log "fullsuite warmup already done — skip"
+else
+    log "=== perf_hg19 WARMUP (residual compile debt; untimed) ==="
+    HICHAP_LOOP_PHASE_TIMING=1 python scripts/perf_hg19.py
+    rc=$?
+    log "warmup rc=$rc"
+    if [ $rc -ne 0 ]; then
+        log "warmup failed — stopping before medians"
+        exit 1
+    fi
+    touch /tmp/perf_hg19_warmup.done
+fi
+
+log "=== TIMED: 5 phase-instrumented full-suite samples ==="
+for i in 1 2 3 4 5; do
+    [ -f /tmp/perf_hg19_phased_run$i.json ] && { log "phased run $i recorded — skip"; continue; }
+    log "--- phased run $i ---"
+    HICHAP_LOOP_PHASE_TIMING=1 python scripts/perf_hg19.py
+    rc=$?
+    log "phased run$i rc=$rc"
+    [ $rc -eq 0 ] && cp "$HERE/.perf_hg19.json" /tmp/perf_hg19_phased_run$i.json 2>/dev/null
+    [ $rc -ne 0 ] && exit 1
+done
+
+log "=== TIMED: 3 plain full-suite samples (instrumentation control) ==="
+for i in 1 2 3; do
+    [ -f /tmp/perf_hg19_plain_run$i.json ] && { log "plain run $i recorded — skip"; continue; }
+    log "--- plain run $i ---"
+    python scripts/perf_hg19.py
+    rc=$?
+    log "plain run$i rc=$rc"
+    [ $rc -eq 0 ] && cp "$HERE/.perf_hg19.json" /tmp/perf_hg19_plain_run$i.json 2>/dev/null
+    [ $rc -ne 0 ] && exit 1
+done
+
+python - "$HERE" <<'EOF'
+import json, statistics, sys
+here = sys.argv[1]
+phased, plain, phases = [], [], []
+for i in range(1, 6):
+    try:
+        r = json.load(open(f"/tmp/perf_hg19_phased_run{i}.json"))
+        phased.append(r["total_s"])
+        phases.append(r.get("loops_phases"))
+    except Exception:
+        pass
+for i in range(1, 4):
+    try:
+        plain.append(json.load(
+            open(f"/tmp/perf_hg19_plain_run{i}.json"))["total_s"])
+    except Exception:
+        pass
+print("phased samples:", phased)
+print("plain samples:", plain)
+if len(phased) >= 3:
+    rec = json.load(open(f"{here}/.perf_hg19.json"))
+    rec["median_total_s"] = round(statistics.median(phased), 1)
+    rec["sample_totals_s"] = phased
+    rec["plain_sample_totals_s"] = plain
+    if plain:
+        rec["plain_median_total_s"] = round(statistics.median(plain), 1)
+    rec["per_run_loops_phases"] = phases
+    json.dump(rec, open(f"{here}/.perf_hg19.json", "w"))
+    print("median recorded:", rec["median_total_s"],
+          "plain:", rec.get("plain_median_total_s"))
+EOF
+publish
+
 log "=== TIMED: bench sanity (median-of-3 primary) ==="
 python bench.py
 rc=$?
 log "bench rc=$rc"
+
+log "=== A/B: sparse-ICE reduction strategies (scan vs onehot, commit c95cdcc) ==="
+for red in onehot scan; do
+    [ -f /tmp/perf_sparse_gw_$red.done ] && { log "A/B $red recorded — skip"; continue; }
+    PERF_REDUCE=$red python scripts/perf_sparse_gw.py > /tmp/perf_sparse_gw_$red.log 2>&1
+    rc=$?
+    log "A/B $red rc=$rc (log /tmp/perf_sparse_gw_$red.log)"
+    grep -E "iters/s" /tmp/perf_sparse_gw_$red.log | tail -2
+    [ $rc -eq 0 ] && touch /tmp/perf_sparse_gw_$red.done
+done
 log "ALL DONE"
