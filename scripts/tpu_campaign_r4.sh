@@ -36,7 +36,7 @@ export PERF_E2E_BED=/tmp/e2e_bed_r4/rep1
 for i in 1 2 3; do
     [ -f /tmp/perf_e2e_run$i.json ] && { log "e2e run $i recorded — skip"; continue; }
     log "--- e2e run $i ---"
-    python scripts/perf_e2e.py
+    timeout 3600 python scripts/perf_e2e.py
     rc=$?
     log "e2e run$i rc=$rc"
     [ $rc -eq 0 ] && cp "$HERE/.perf_e2e.json" /tmp/perf_e2e_run$i.json 2>/dev/null
@@ -74,7 +74,7 @@ export PERF_HAP_BED=/tmp/hap_bed_r4/rep1
 for i in 1 2; do
     [ -f /tmp/perf_e2e_hap_run$i.json ] && { log "hap run $i recorded — skip"; continue; }
     log "--- hap e2e run $i ---"
-    python scripts/perf_e2e_hap.py
+    timeout 2400 python scripts/perf_e2e_hap.py
     rc=$?
     log "hap e2e run$i rc=$rc"
     [ $rc -eq 0 ] && cp "$HERE/.perf_e2e_hap.json" /tmp/perf_e2e_hap_run$i.json 2>/dev/null
@@ -105,7 +105,7 @@ if [ -f /tmp/perf_hg19_warmup.done ]; then
     log "fullsuite warmup already done — skip"
 else
     log "=== perf_hg19 WARMUP (residual compile debt; untimed) ==="
-    HICHAP_LOOP_PHASE_TIMING=1 python scripts/perf_hg19.py
+    HICHAP_LOOP_PHASE_TIMING=1 timeout 2700 python scripts/perf_hg19.py
     rc=$?
     log "warmup rc=$rc"
     if [ $rc -ne 0 ]; then
@@ -119,7 +119,7 @@ log "=== TIMED: 5 phase-instrumented full-suite samples ==="
 for i in 1 2 3 4 5; do
     [ -f /tmp/perf_hg19_phased_run$i.json ] && { log "phased run $i recorded — skip"; continue; }
     log "--- phased run $i ---"
-    HICHAP_LOOP_PHASE_TIMING=1 python scripts/perf_hg19.py
+    HICHAP_LOOP_PHASE_TIMING=1 timeout 2700 python scripts/perf_hg19.py
     rc=$?
     log "phased run$i rc=$rc"
     [ $rc -eq 0 ] && cp "$HERE/.perf_hg19.json" /tmp/perf_hg19_phased_run$i.json 2>/dev/null
@@ -130,7 +130,7 @@ log "=== TIMED: 3 plain full-suite samples (instrumentation control) ==="
 for i in 1 2 3; do
     [ -f /tmp/perf_hg19_plain_run$i.json ] && { log "plain run $i recorded — skip"; continue; }
     log "--- plain run $i ---"
-    python scripts/perf_hg19.py
+    timeout 1800 python scripts/perf_hg19.py
     rc=$?
     log "plain run$i rc=$rc"
     [ $rc -eq 0 ] && cp "$HERE/.perf_hg19.json" /tmp/perf_hg19_plain_run$i.json 2>/dev/null
