@@ -162,7 +162,7 @@ def sparse_genomewide_extras() -> dict:
     rates.sort()
     rate = rates[len(rates) // 2] if len(rates) % 2 else (
         (rates[len(rates) // 2 - 1] + rates[len(rates) // 2]) / 2)
-    return {
+    out = {
         "sparse_genomewide_ice_iters_per_sec_10kb_hg19": round(rate, 2),
         "sparse_genomewide_ice_samples": [round(r, 2) for r in rates],
         "sparse_genomewide_ice_min_max": [round(rates[0], 2),
@@ -172,6 +172,32 @@ def sparse_genomewide_extras() -> dict:
         "sparse_vs_cpu_pinned": round(
             rate / SPARSE_GW_CPU_BASELINE_ITERS_PER_SEC, 2),
     }
+    # A/B extra: the compensated-scan reduction (reduce="scan", c95cdcc)
+    # vs the onehot primary above — recorded here so the round's official
+    # bench captures the comparison even if the measurement campaign's
+    # A/B stage never gets a tunnel window.  Own alarm budget; a failure
+    # or timeout records an error string without touching the primary.
+    try:
+        with _Watchdog(420):
+            def run_scan():
+                w, st = sparse_ice_balance(
+                    tiles, brow, bcol, jnp.asarray(n), R=R, T=T, tol=0.0,
+                    max_iters=iters, reduce="scan")
+                return np.asarray(w), int(np.asarray(st["iters"]))
+
+            run_scan()  # compile + warm
+            sr = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _, it = run_scan()
+                sr.append(it / (time.perf_counter() - t0))
+            out["sparse_genomewide_ice_scan_iters_per_sec"] = round(
+                max(sr), 2)
+            out["sparse_genomewide_ice_scan_samples"] = [
+                round(r, 2) for r in sr]
+    except Exception as e:
+        out["scan_reduce_error"] = repr(e)[:200]
+    return out
 
 
 class _Watchdog:
