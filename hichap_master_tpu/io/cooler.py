@@ -32,6 +32,61 @@ _FORMAT = "HDF5::Cooler"
 _FORMAT_VERSION = 3
 _GEN = "hichap_master_tpu"
 
+# Densify-on-host cap for device matrix fetches (bytes of the padded dense
+# f32 square).  Below this, COO pixels are scattered into a dense host array
+# (cooler pixels are unique -> pure assignment) and the *upper triangle* is
+# shipped in the narrowest dtype that holds the counts, with cast+symmetrize
+# on device.  Above it, pixels upload as COO and scatter on device.  The cap
+# exists because XLA lowers TPU scatter-add to a serialized per-update loop:
+# a ~2.4M-pixel scatter measured ~140 s on a v5e where the dense upload of
+# the same matrix is ~2 s over a 40 MB/s link (round-4 e2e,
+# matrix.ice.500000.gw) — so dense wins everywhere it fits.
+_DENSE_UPLOAD_MAX = int(os.environ.get(
+    "HICHAP_DENSE_UPLOAD_MAX", str(512 << 20)))
+
+
+_SYM_CAST_JIT = None
+
+
+def _sym_cast_device(M_upper):
+    """jit: upper-triangular [P,P] (narrow dtype) -> symmetric f32 on device.
+
+    The jitted callable is created once (module cache) so each (shape, dtype)
+    compiles exactly once per process.
+    """
+    global _SYM_CAST_JIT
+    if _SYM_CAST_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _k(Mu):
+            Mf = Mu.astype(jnp.float32)
+            return Mf + jnp.triu(Mf, 1).T
+
+        _SYM_CAST_JIT = _k
+    return _SYM_CAST_JIT(M_upper)
+
+
+def _dense_device_sym(rows, cols, vals, P: int):
+    """Dense symmetric [P,P] f32 on device from unique upper-tri pixels.
+
+    Host-side assignment (no bincount — cooler pixel tables hold unique
+    (bin1, bin2) pairs), then the narrowest exact wire dtype: uint16 for
+    integer counts <= 65535, int32 for larger integers, float32 otherwise.
+    Symmetrization runs on device so the wire carries the narrow dtype.
+    """
+    import jax.numpy as jnp
+
+    if np.issubdtype(vals.dtype, np.floating):
+        wire = np.float32
+    else:
+        vmax = int(vals.max()) if len(vals) else 0
+        wire = np.uint16 if vmax <= np.iinfo(np.uint16).max else np.int32
+    M_host = np.zeros((P, P), dtype=wire)
+    M_host[rows, cols] = vals.astype(wire, copy=False)
+    return _sym_cast_device(jnp.asarray(M_host))
+
 
 def _uri(path_or_uri: str) -> Tuple[str, str]:
     if "::" in path_or_uri:
@@ -384,15 +439,11 @@ class CoolerReader:
         n = int(self.chrom_offset[ci + 1] - self.chrom_offset[ci])
         P = padded or pad_to_bucket(n)
         nnz = len(vals)
-        if nnz * 16 >= n * n:
-            # dense-ish (coarse resolutions): XLA scatter on TPU serializes
-            # per update, so densify host-side (C bincount) and upload dense.
-            flat = rows.astype(np.int64) * P + cols
-            M_host = np.bincount(flat, weights=vals,
-                                 minlength=P * P).astype(np.float32)
-            M_host = M_host.reshape(P, P)
-            M_host = M_host + np.triu(M_host, 1).T
-            M = jnp.asarray(M_host)
+        if P * P * 4 <= _DENSE_UPLOAD_MAX:
+            # densify host-side and upload dense: XLA lowers TPU scatter to a
+            # serialized per-update loop, so device scatter only wins when the
+            # dense square is too big to ship at all (see _DENSE_UPLOAD_MAX).
+            M = _dense_device_sym(rows, cols, vals, P)
         else:
             # sparse (fine resolutions): COO upload beats shipping N² zeros;
             # nnz padded to a power of two so scatter graphs are reused.
@@ -430,13 +481,10 @@ class CoolerReader:
         S = self.nbins
         P = padded or pad_to_bucket(S)
         nnz = len(v)
-        if nnz * 16 >= S * S:
-            flat = b1.astype(np.int64) * P + b2
-            M_host = np.bincount(flat, weights=v,
-                                 minlength=P * P).astype(np.float32)
-            M_host = M_host.reshape(P, P)
-            M_host = M_host + np.triu(M_host, 1).T
-            return jnp.asarray(M_host), S
+        if P * P * 4 <= _DENSE_UPLOAD_MAX:
+            # host densify + narrow-dtype upload; device scatter serializes
+            # on TPU (see _DENSE_UPLOAD_MAX above).
+            return _dense_device_sym(b1, b2, v, P), S
         cap = 1 << max(nnz - 1, 1).bit_length()
         r = np.zeros(cap, np.int64)
         c = np.zeros(cap, np.int64)
