@@ -419,6 +419,8 @@ def main():
                     ex["hg19_hap_e2e_backend"] = rj.get("backend")
                 if rj.get("sample_totals_s"):
                     ex["hg19_hap_e2e_samples"] = rj.get("sample_totals_s")
+                if rj.get("median_total_s") is not None:
+                    ex["hg19_hap_e2e_median_s"] = rj.get("median_total_s")
         except Exception:
             pass
     print(json.dumps(out))

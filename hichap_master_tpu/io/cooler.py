@@ -84,7 +84,17 @@ def _dense_device_sym(rows, cols, vals, P: int):
         vmax = int(vals.max()) if len(vals) else 0
         wire = np.uint16 if vmax <= np.iinfo(np.uint16).max else np.int32
     M_host = np.zeros((P, P), dtype=wire)
-    M_host[rows, cols] = vals.astype(wire, copy=False)
+    # Pixel tables read from a cooler are (bin1, bin2)-sorted, so duplicate
+    # keys (nonconforming files) are adjacent — one O(nnz) compare guards
+    # the assignment; duplicates take the accumulate path instead.
+    key = rows.astype(np.int64) * P + cols
+    if len(key) > 1 and bool(np.any(key[1:] == key[:-1])):
+        acc = np.zeros((P, P),
+                       np.float64 if wire is np.float32 else np.int64)
+        np.add.at(acc, (rows, cols), vals)
+        M_host = acc.astype(np.float32)
+    else:
+        M_host[rows, cols] = vals.astype(wire, copy=False)
     return _sym_cast_device(jnp.asarray(M_host))
 
 
