@@ -10,6 +10,7 @@ a device mesh.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Mapping, Sequence
 
@@ -21,8 +22,38 @@ def pad_to_bucket(n: int, bucket: int = 128) -> int:
     return max(bucket, ((n + bucket - 1) // bucket) * bucket)
 
 
+_SHAPE_LADDER = os.environ.get("HICHAP_SHAPE_LADDER", "1") != "0"
+
+
+def pad_to_shape(n: int, bucket: int = 128) -> int:
+    """Round up to the compile-shape ladder: 256→2048 in powers of two, then
+    ×1.5 steps (3072, 4608, 6912, 10368, …), each 128-aligned.
+
+    Fine-grained padding (128/512 buckets) compiles a distinct executable
+    per distinct padded size — ~20 shapes across hg19 chromosomes at 40 kb.
+    Each distinct program costs a compile (60-250 s remote on the tunneled
+    dev chip; seconds anywhere) AND a per-process executable load (~10 s
+    over the 40 MB/s tunnel — measured round 4, the dominant share of the
+    e2e two-step/TAD walls).  The geometric ladder bounds distinct shapes
+    to O(log N) per pipeline — 4 at 40 kb, 2 at 500 kb — at ≤2.25× padded
+    AREA waste, which is noise next to per-program costs (warm two-step
+    dispatch is 0.03-0.09 s).  ``HICHAP_SHAPE_LADDER=0`` restores plain
+    bucket padding.
+    """
+    if not _SHAPE_LADDER:
+        return pad_to_bucket(n, bucket)
+    n = max(int(n), 1)
+    p = 256
+    while p < n and p < 2048:
+        p *= 2
+    while p < n:
+        p = -(-p * 3 // 2)          # ceil ×1.5
+        p = -(-p // bucket) * bucket  # keep lane alignment
+    return p
+
+
 def bucket_groups(labels: Sequence[str], n_bins: Mapping[str, int],
-                  bucket: int = 512):
+                  bucket: int = 512, ladder: bool = False):
     """Group chromosomes whose padded sizes coincide.
 
     Padding every chromosome to the genome-wide max wastes HBM quadratically
@@ -30,11 +61,18 @@ def bucket_groups(labels: Sequence[str], n_bins: Mapping[str, int],
     rounded size keeps batches dense while bounding compile count to the
     number of distinct buckets.
 
+    ``ladder=True`` groups by the geometric compile-shape ladder
+    (``pad_to_shape``) instead of fixed buckets — use for groups that feed
+    compiled device programs, where the number of DISTINCT shapes is the
+    cost that matters; keep fixed buckets for host accumulators, where
+    padded bytes are the cost.
+
     Returns a list of ``(group_labels, padded_size)`` tuples.
     """
     by_size: Dict[int, List[str]] = {}
     for c in labels:
-        N = pad_to_bucket(n_bins[c], bucket)
+        N = pad_to_shape(n_bins[c]) if ladder else pad_to_bucket(
+            n_bins[c], bucket)
         by_size.setdefault(N, []).append(c)
     return [(v, k) for k, v in sorted(by_size.items())]
 

@@ -442,12 +442,12 @@ class CoolerReader:
         bottleneck for big chromosomes).  Returns (jnp [P, P], n)."""
         import jax.numpy as jnp
 
-        from ..core.contacts import pad_to_bucket
+        from ..core.contacts import pad_to_shape
 
         rows, cols, vals = self.fetch_coo(label)
         ci = self.chromnames.index(label)
         n = int(self.chrom_offset[ci + 1] - self.chrom_offset[ci])
-        P = padded or pad_to_bucket(n)
+        P = padded or pad_to_shape(n)
         nnz = len(vals)
         if P * P * 4 <= _DENSE_UPLOAD_MAX:
             # densify host-side and upload dense: XLA lowers TPU scatter to a
@@ -481,7 +481,7 @@ class CoolerReader:
         Returns (jnp [S_pad, S_pad], S)."""
         import jax.numpy as jnp
 
-        from ..core.contacts import pad_to_bucket
+        from ..core.contacts import pad_to_shape
 
         with h5py.File(self.path, "r") as f:
             g = f[self.grp]
@@ -489,7 +489,7 @@ class CoolerReader:
             b2 = g["pixels/bin2_id"][:]
             v = g["pixels/count"][:]
         S = self.nbins
-        P = padded or pad_to_bucket(S)
+        P = padded or pad_to_shape(S)
         nnz = len(v)
         if P * P * 4 <= _DENSE_UPLOAD_MAX:
             # host densify + narrow-dtype upload; device scatter serializes

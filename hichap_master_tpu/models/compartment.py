@@ -23,7 +23,7 @@ from typing import Dict, List, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.contacts import pad_to_bucket
+from ..core.contacts import pad_to_shape
 from ..io.cooler import CoolerReader
 from ..ops.expected import (
     correlation_matrix,
@@ -228,7 +228,7 @@ def single_chrom_compartment(M: np.ndarray, res: int, sliding: bool = False,
     'oe' ([n, n]), 'cor' ([g, g] over non-gap columns), 'pcs' ([3, g]).
     """
     n = M.shape[0]
-    N = pad_to_bucket(n)
+    N = pad_to_shape(n)
     Mp = np.zeros((N, N), np.float32)
     Mp[:n, :n] = M
     Mj = jnp.asarray(Mp)
@@ -279,7 +279,7 @@ def _compartment_batched(reader, chroms, res, sliding, pca_method,
     graph (per-dispatch latency dominates at coarse resolutions)."""
     import jax
 
-    from ..core.contacts import pad_to_bucket
+    from ..core.contacts import pad_to_shape
 
     sizes = {}
     for c in chroms:
@@ -287,7 +287,7 @@ def _compartment_batched(reader, chroms, res, sliding, pca_method,
         sizes[c] = int(reader.chrom_offset[ci + 1] - reader.chrom_offset[ci])
     by_pad: Dict[int, List[str]] = {}
     for c in chroms:
-        by_pad.setdefault(pad_to_bucket(sizes[c]), []).append(c)
+        by_pad.setdefault(pad_to_shape(sizes[c]), []).append(c)
 
     fused_v = jax.jit(
         jax.vmap(_compartment_fused.__wrapped__,

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.contacts import pad_to_bucket
+from ..core.contacts import pad_to_shape
 from ..io.cooler import CoolerReader
 from ..ops.di import (directionality_index, directionality_index_band,
                       tad_gap_mask, tad_gap_mask_counts)
@@ -122,7 +122,7 @@ def chrom_di_segments(M: np.ndarray, res: int, min_tad: int, window: int,
                       test_type: str):
     """Gap detection + DI + training-segment extraction for one host matrix."""
     n = M.shape[0]
-    N = pad_to_bucket(n)
+    N = pad_to_shape(n)
     Mp = np.zeros((N, N), np.float32)
     Mp[:n, :n] = M
     return chrom_di_segments_device(jnp.asarray(Mp), n, res, min_tad, window,
@@ -333,7 +333,7 @@ def _di_batched(reader: CoolerReader, chroms, balance: bool, res: int,
         sizes[c] = int(reader.chrom_offset[ci + 1] - reader.chrom_offset[ci])
     by_pad: Dict[int, List[str]] = {}
     for c in chroms:
-        by_pad.setdefault(pad_to_bucket(sizes[c]), []).append(c)
+        by_pad.setdefault(pad_to_shape(sizes[c]), []).append(c)
 
     out = {}
     for N, group in sorted(by_pad.items()):

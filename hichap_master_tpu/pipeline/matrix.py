@@ -30,7 +30,7 @@ from typing import Dict, List, Mapping, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.contacts import bucket_groups, pad_to_bucket
+from ..core.contacts import bucket_groups, pad_to_shape
 from ..core.genome import Genome
 from ..io.bedio import (
     TAG_BOTH,
@@ -814,7 +814,9 @@ def _write_weights_inner(path: str, genome: Genome, res: int,
         nb = {c: int(r.chrom_offset[i + 1] - r.chrom_offset[i])
               for i, c in enumerate(r.chromnames)}
         per_label = {}
-        for group, N in bucket_groups(r.chromnames, nb):
+        # ladder grouping: these buckets feed compiled balance programs,
+        # and per-program compile+load dwarfs the padded-FLOP waste
+        for group, N in bucket_groups(r.chromnames, nb, ladder=True):
             # bound the batch's device footprint; split oversized buckets
             max_g = max(1, (1 << 32) // (8 * N * N))
             for s in range(0, len(group), max_g):
@@ -847,9 +849,14 @@ def _write_weights_inner(path: str, genome: Genome, res: int,
         w, _ = ice_balance_hybrid(h)
         weights = np.asarray(w)[: r.nbins]
     else:
-        Mj, S = r.genomewide_device()
-        w, _ = ice_balance(Mj, jnp.asarray(S))
-        weights = np.asarray(w)[:S]
+        with stage(f"matrix.ice.{res}.gw.fetch"):
+            Mj, S = r.genomewide_device()
+            # np.asarray forces the sync (axon's block_until_ready can
+            # return before execution completes — see bench.py)
+            np.asarray(Mj[:1, :8])
+        with stage(f"matrix.ice.{res}.gw.balance"):
+            w, _ = ice_balance(Mj, jnp.asarray(S))
+            weights = np.asarray(w)[:S]
     r.set_weights(weights)
 
 
@@ -1274,7 +1281,7 @@ def correct_haplotype_datasets(data, genome: Genome,
             for c in genome.labels:
                 s, e = t_offs[c]
                 n = e - s + 1
-                N = pad_to_bucket(n)
+                N = pad_to_shape(n)
                 trs, tnz = _sym_block_margins(T, s, e, bounds=t_bounds)
                 ms, me = h_offs["M" + c]
                 ps, pe = h_offs["P" + c]
@@ -1303,7 +1310,7 @@ def correct_haplotype_datasets(data, genome: Genome,
         for c in genome.labels:
             s, e = t_offs[c]
             n = e - s + 1
-            N = pad_to_bucket(n)
+            N = pad_to_shape(n)
             tb = np.zeros((N, N), np.float32)
             tb[:n, :n] = T[s : e + 1, s : e + 1]
             ms, me = h_offs["M" + c]
@@ -1331,7 +1338,7 @@ def correct_haplotype_datasets(data, genome: Genome,
         gap_lib = {}
         for c in genome.labels:
             n = genome.n_bins(c, res)
-            N = pad_to_bucket(n)
+            N = pad_to_shape(n)
 
             def _pad(m):
                 z = np.zeros((N, N), np.float32)
