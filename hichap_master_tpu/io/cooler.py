@@ -414,9 +414,12 @@ class CoolerReader:
                 out[b2[m2] - s1, b1[m2] - s2] = v[m2]
         return out
 
-    def fetch_coo(self, label: str):
+    def fetch_coo(self, label: str, keep_dtype: bool = False):
         """Intra-chromosome upper-triangle COO (rows, cols, vals), local
-        bin ids — the cheap representation for host→device upload."""
+        bin ids — the cheap representation for host→device upload.
+
+        ``keep_dtype=True`` returns counts in the stored dtype (int32 for
+        raw coolers) so narrow-wire consumers can pick their own width."""
         ci = self.chromnames.index(label)
         s1, e1 = int(self.chrom_offset[ci]), int(self.chrom_offset[ci + 1])
         with h5py.File(self.path, "r") as f:
@@ -427,13 +430,15 @@ class CoolerReader:
             v = g["pixels/count"][lo:hi]
         m = (b2 >= s1) & (b2 < e1)
         v = v[m]
-        # corrected coolers store float64 counts; keep them (the loops
-        # selection quantiles read these values — a f32 round-trip shifted
-        # threshold-adjacent candidates).  Raw int32 counts are exact in
-        # f32 and stay on the narrow wire.
-        vt = np.float64 if np.issubdtype(v.dtype, np.floating) else np.float32
-        return (b1[m] - s1).astype(np.int32), (b2[m] - s1).astype(np.int32), \
-            v.astype(vt)
+        if not keep_dtype:
+            # corrected coolers store float64 counts; keep them (the loops
+            # selection quantiles read these values — a f32 round-trip
+            # shifted threshold-adjacent candidates).  Raw int32 counts are
+            # exact in f32 and stay on the narrow wire.
+            vt = (np.float64 if np.issubdtype(v.dtype, np.floating)
+                  else np.float32)
+            v = v.astype(vt)
+        return (b1[m] - s1).astype(np.int32), (b2[m] - s1).astype(np.int32), v
 
     def matrix_device(self, label: str, padded: int | None = None,
                       balance: bool = False):
@@ -444,7 +449,7 @@ class CoolerReader:
 
         from ..core.contacts import pad_to_shape
 
-        rows, cols, vals = self.fetch_coo(label)
+        rows, cols, vals = self.fetch_coo(label, keep_dtype=True)
         ci = self.chromnames.index(label)
         n = int(self.chrom_offset[ci + 1] - self.chrom_offset[ci])
         P = padded or pad_to_shape(n)
