@@ -22,9 +22,6 @@ def pad_to_bucket(n: int, bucket: int = 128) -> int:
     return max(bucket, ((n + bucket - 1) // bucket) * bucket)
 
 
-_SHAPE_LADDER = os.environ.get("HICHAP_SHAPE_LADDER", "1") != "0"
-
-
 def pad_to_shape(n: int, bucket: int = 128) -> int:
     """Round up to the compile-shape ladder: 256→2048 in powers of two, then
     ×1.5 steps (3072, 4608, 6912, 10368, …), each 128-aligned.
@@ -40,7 +37,10 @@ def pad_to_shape(n: int, bucket: int = 128) -> int:
     dispatch is 0.03-0.09 s).  ``HICHAP_SHAPE_LADDER=0`` restores plain
     bucket padding.
     """
-    if not _SHAPE_LADDER:
+    # read per call (not import-time) so flipping the env mid-process works,
+    # matching _resolve_reduce's convention (review find); the getenv cost
+    # is noise next to the compiles this function gates
+    if os.environ.get("HICHAP_SHAPE_LADDER", "1") == "0":
         return pad_to_bucket(n, bucket)
     n = max(int(n), 1)
     p = 256

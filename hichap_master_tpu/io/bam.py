@@ -223,6 +223,7 @@ def sam_to_bam(sam_path: str, bam_path: str,
     refs: Dict[str, int] = dict(references) if references else {}
     if not refs:
         with _open_text(sam_path) as f:
+            sq_sized: set = set()
             for line in f:
                 if line.startswith("@"):
                     if line.startswith("@SQ"):
@@ -231,6 +232,8 @@ def sam_to_bam(sam_path: str, bam_path: str,
                                       if ":" in p)
                         if "SN" in fields:
                             refs[fields["SN"]] = int(fields.get("LN", 0))
+                            if refs[fields["SN"]] > 0:
+                                sq_sized.add(fields["SN"])
                     continue
                 # past the header: a record whose reference an @SQ line
                 # already sized needs no parse (its LN dominates the
@@ -238,9 +241,13 @@ def sam_to_bam(sam_path: str, bam_path: str,
                 # those, so a fully-@SQ-headered multi-GB SAM costs one
                 # split per line here instead of a second full parse pass
                 # (review find).  Partially-headered SAMs (FakeAligner
-                # chunks) still pick up their unheadered references.
+                # chunks) still pick up their unheadered references.  The
+                # skip set is pinned to header-derived names only: lengths
+                # the scan itself records must keep accumulating, else a
+                # headerless reference would be sized by its FIRST record
+                # rather than max(pos+len) over all of them (review find).
                 head = line.split("\t", 4)
-                if len(head) > 3 and refs.get(head[2], 0) > 0:
+                if len(head) > 3 and head[2] in sq_sized:
                     continue
                 rec = parse_sam_line(line)
                 if rec is None or rec.reference_name is None:

@@ -84,11 +84,14 @@ def _dense_device_sym(rows, cols, vals, P: int):
         vmax = int(vals.max()) if len(vals) else 0
         wire = np.uint16 if vmax <= np.iinfo(np.uint16).max else np.int32
     M_host = np.zeros((P, P), dtype=wire)
-    # Pixel tables read from a cooler are (bin1, bin2)-sorted, so duplicate
-    # keys (nonconforming files) are adjacent — one O(nnz) compare guards
-    # the assignment; duplicates take the accumulate path instead.
+    # Pixel tables read from a conforming cooler are (bin1, bin2)-sorted,
+    # so duplicate keys are adjacent — one O(nnz) compare guards the
+    # assignment.  An UNSORTED table (nonconforming file) could hide
+    # non-adjacent duplicates from that compare, so unsortedness itself
+    # also routes to the accumulate path (review find).
     key = rows.astype(np.int64) * P + cols
-    if len(key) > 1 and bool(np.any(key[1:] == key[:-1])):
+    if len(key) > 1 and (bool(np.any(key[1:] == key[:-1]))
+                         or not bool(np.all(key[1:] >= key[:-1]))):
         acc = np.zeros((P, P),
                        np.float64 if wire is np.float32 else np.int64)
         np.add.at(acc, (rows, cols), vals)

@@ -358,8 +358,14 @@ def ice_balance_hybrid(h: HybridGW, **kw):
             f"hybrid layout built with ignore_diags={h.ignore_diags}; "
             f"rebuild it to balance with ignore_diags={want}")
     kw.setdefault("ignore_diags", h.ignore_diags)
+    # The env knobs (HICHAP_PALLAS_ICE / HICHAP_ICE_REDUCE) may resolve to
+    # strategies only the NON-hybrid sparse path implements/tests
+    # ("pallas", "scatter"); clamp the hybrid default to its two parity-
+    # tested reductions so an opt-in aimed at the other path cannot
+    # silently reroute the production hybrid balance (review find).
     from .sparse import _resolve_reduce
-    kw.setdefault("reduce", _resolve_reduce())
+    _r = _resolve_reduce()
+    kw.setdefault("reduce", _r if _r in ("onehot", "scan") else "onehot")
     bm = h.bm
     N = bm.R * bm.T
     bounds = np.full(N + 1, h.bounds[-1], np.int32)

@@ -330,12 +330,19 @@ def _load_frame_pandas(source):
         # the C engine rejects usecols indices past the physical width when
         # EVERY row is 15 columns (no candidate rows anywhere — common for
         # small chunks); re-read full-width (missing tails pad NaN) and
-        # select after the fact.  Seekable sources rewind first.
+        # select after the fact.  Seekable sources rewind first; a
+        # non-seekable stream was consumed by the failed attempt, so the
+        # re-read sees EOF — treat that like an empty file rather than
+        # letting EmptyDataError escape (review find).
         if hasattr(source, "seek"):
             source.seek(0)
-        df = pd.read_csv(source, sep="\t", header=None,
-                         names=list(range(23)), dtype=dtypes, engine="c",
-                         low_memory=False)[list(_AF_USECOLS)]
+        try:
+            df = pd.read_csv(source, sep="\t", header=None,
+                             names=list(range(23)), dtype=dtypes,
+                             engine="c", low_memory=False)[list(_AF_USECOLS)]
+        except pd.errors.EmptyDataError:
+            df = pd.DataFrame({i: pd.Series(dtype=dtypes[i])
+                               for i in _AF_USECOLS})
     d = {c: df[c].to_numpy() for c in _AF_USECOLS}
     n = d[0].size
     names = d[0].astype("S") if n else np.empty(0, "S1")

@@ -96,6 +96,30 @@ def test_sam_to_bam_header_fallbacks(tmp_path):
     sam_to_bam(headerless, bam2)
 
     import struct
+
+    def _ref_len(path):
+        with gzip.open(path, "rb") as f:
+            assert f.read(4) == b"BAM\x01"
+            (l_text,) = struct.unpack("<i", f.read(4))
+            f.read(l_text)
+            (n_ref,) = struct.unpack("<i", f.read(4))
+            assert n_ref == 1
+            (l_name,) = struct.unpack("<i", f.read(4))
+            f.read(l_name)
+            (l_ref,) = struct.unpack("<i", f.read(4))
+            return l_ref
+
+    # headerless, two mapped records, the LATER one rightmost: the scan
+    # must keep accumulating max(pos+len) for references it sized itself
+    # (only @SQ-derived lengths may short-circuit the parse — review find)
+    multi = [AlnRecord("a_1", 0, "1", 100, 42, "A" * 20, "I" * 20, tag_as=0),
+             AlnRecord("b_1", 0, "1", 500, 42, "G" * 20, "I" * 20, tag_as=0)]
+    hl2 = str(tmp_path / "hl2.sam")
+    write_sam(hl2, multi)
+    bam3 = str(tmp_path / "hl2.bam")
+    sam_to_bam(hl2, bam3)
+    assert _ref_len(bam3) == 520
+
     for path, want_len in ((bam1, 9999), (bam2, 120)):
         with gzip.open(path, "rb") as f:
             assert f.read(4) == b"BAM\x01"
