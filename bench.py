@@ -325,6 +325,15 @@ def main():
         out["extras"]["genomewide_ice_iters_per_sec_10kb_chr1"] = \
             round(tpu, 2)
         out["extras"]["chr1_dense_vs_cpu"] = round(tpu / cpu, 2)
+        # roofline: each dense ICE iteration streams the [PAD,PAD] f32
+        # matrix once through the matvec; v5e HBM ~819 GB/s bounds the
+        # rate at bw/bytes — the fraction says how close to
+        # bandwidth-bound speed-of-light the measured rate runs
+        # (PERF.md "Primary bench" analysis, recorded here per VERDICT r4
+        # item 8 so the claim survives without reading PERF.md)
+        bytes_per_iter = PAD * PAD * 4
+        bound = 819e9 / bytes_per_iter
+        out["extras"]["dense_ice_bw_frac"] = round(tpu / bound, 3)
     except Exception as e:  # never lose the primary metric to an extra
         out["extras"]["chr1_dense_error"] = repr(e)[:200]
     # stock-cooler interop status (VERDICT r3 item 4): "verified" when the
@@ -380,6 +389,19 @@ def main():
                     # median of >= 3 on-chip runs (campaign-aggregated)
                     ex["hg19_e2e_median_s"] = rj.get("median_total_s")
                     ex["hg19_e2e_samples"] = rj.get("sample_totals_s")
+                # headline stage walls (VERDICT r4: the 500 kb-GW ICE
+                # anomaly fix must be visible in the bench record) + the
+                # hybrid 10 kb GW device-vs-wire split (roofline item 8)
+                sw = rj.get("stage_walls") or {}
+                if "matrix.ice.500000.gw" in sw:
+                    ex["e2e_ice500_gw_s"] = sw["matrix.ice.500000.gw"]
+                if rj.get("median_ice500_gw_s") is not None:
+                    ex["e2e_ice500_gw_median_s"] = rj["median_ice500_gw_s"]
+                if "matrix.ice.10000.gw.balance" in sw:
+                    ex["hybrid_ice_device_s"] = sw[
+                        "matrix.ice.10000.gw.balance"]
+                if "matrix.ice.10000.gw.fetch" in sw:
+                    ex["hybrid_ice_wire_s"] = sw["matrix.ice.10000.gw.fetch"]
         except Exception:
             pass
     # .perf_filtering.json — filtering stage at scale (perf_filtering.py)
@@ -391,6 +413,11 @@ def main():
             ex = out.setdefault("extras", {})
             ex["filtering_rec_per_s"] = rj.get("rec_per_s")
             ex["filtering_records"] = rj.get("records")
+            # campaign-aggregated dispersion (VERDICT r4 item 5: host
+            # stages get the same statistical treatment as device metrics)
+            if rj.get("median_rec_per_s") is not None:
+                ex["filtering_rec_per_s_median"] = rj["median_rec_per_s"]
+                ex["filtering_samples"] = rj.get("sample_rec_per_s")
         except Exception:
             pass
     # .perf_allelic.json — allelic assignment at scale (perf_allelic.py)
@@ -402,6 +429,21 @@ def main():
             ex = out.setdefault("extras", {})
             ex["allelic_assign_s"] = rj.get("allelic_s")
             ex["allelic_assign_pairs"] = rj.get("pairs")
+            if rj.get("median_allelic_s") is not None:
+                ex["allelic_assign_median_s"] = rj["median_allelic_s"]
+                ex["allelic_samples"] = rj.get("sample_allelic_s")
+        except Exception:
+            pass
+    # .perf_scan_ab.json — sharded (8-device mesh) reduce=scan vs onehot
+    # A/B (scripts/ab_scan_sharded.py; VERDICT r4 item 7: the scan
+    # strategy's story decided by measurement)
+    rec = os.path.join(_REPO, ".perf_scan_ab.json")
+    if os.path.exists(rec):
+        try:
+            with open(rec) as f:
+                rj = json.load(f)
+            ex = out.setdefault("extras", {})
+            ex["sharded_scan_ab"] = rj
         except Exception:
             pass
     # .perf_e2e_hap.json — TRUE diploid e2e: allelic beds → imputed +

@@ -99,7 +99,13 @@ def main():
     from hichap_master_tpu.pipeline.filtering import allelic_filtering
 
     bed_dir = os.environ.get("PERF_ALLELIC_BED")
-    if not bed_dir or not os.path.isdir(bed_dir):
+    if bed_dir and not os.path.exists(
+            os.path.join(bed_dir, "CELL_R1_Paternal_Valid.bed")):
+        # fixed reuse dir named but not yet populated: generate into it
+        os.makedirs(bed_dir, exist_ok=True)
+        log(f"generating {N_PAIRS/1e6:.0f}M pairs (untimed) → {bed_dir}")
+        generate(bed_dir)
+    elif not bed_dir or not os.path.isdir(bed_dir):
         bed_dir = tempfile.mkdtemp(prefix="perf_allelic_")
         log(f"generating {N_PAIRS/1e6:.0f}M pairs (untimed) → {bed_dir}")
         generate(bed_dir)

@@ -139,6 +139,24 @@ def main():
     walls = profiling.metrics()
     for k in sorted(walls):
         log(f"  {k:<42} {walls[k]:8.1f} s")
+    # The driver (haplotype_matrix_construction) runs exactly three
+    # top-level stages per replicate: build[rep] (wraps the hap.* passes),
+    # two_step_correction, cooler_write (wraps ice.*/write_cooler/balance).
+    # Only those three PARTITION total_s; the rest are nested detail and
+    # summing everything double-counts (round-4 verdict item 3).
+    top = [k for k in walls
+           if k.startswith("matrix.build[")
+           or k in ("matrix.two_step_correction", "matrix.cooler_write")]
+    stage_sum = sum(walls[k] for k in top)
+    log(f"top-level stage sum {stage_sum:.1f} s vs total {total:.1f} s "
+        f"({100 * stage_sum / total:.1f}%)")
+    # quick-mode smokes (large DIV) have fixed setup overhead that is a
+    # real >5% share of a tiny total; the partition contract is asserted
+    # at measurement scale
+    if total > 120:
+        assert abs(stage_sum - total) <= 0.05 * total, (
+            f"stage walls do not partition the total: sum({top}) = "
+            f"{stage_sum:.1f} s vs total {total:.1f} s (>5% apart)")
     cool_gb = sum(
         os.path.getsize(os.path.join(out_dir, "Cooler", f))
         for f in os.listdir(os.path.join(out_dir, "Cooler"))) / 2**30
@@ -147,6 +165,8 @@ def main():
     rec = {"total_s": round(total, 1), "pairs": total_rows,
            "div": DIV, "coolers_gb": round(cool_gb, 2),
            "backend": jax.default_backend(),
+           "top_stage_sum_s": round(stage_sum, 1),
+           "top_stage_keys": sorted(top),
            **{k: round(v, 1) for k, v in walls.items()}}
     with open(os.path.join(_REPO, ".perf_e2e_hap.json"), "w") as f:
         json.dump(rec, f)

@@ -86,7 +86,14 @@ def main():
     from hichap_master_tpu.pipeline.filtering import hic_filtering
 
     bed_dir = os.environ.get("PERF_FILT_BED")
-    if not bed_dir or not os.path.isdir(bed_dir):
+    if bed_dir and not (os.path.isdir(bed_dir) and any(
+            f.endswith(".bed") for f in os.listdir(bed_dir))):
+        # fixed reuse dir named but not yet populated: generate into it
+        os.makedirs(bed_dir, exist_ok=True)
+        log(f"generating {N_LINES/1e6:.0f}M chunk-bed lines (untimed) → "
+            f"{bed_dir}")
+        generate(bed_dir)
+    elif not bed_dir or not os.path.isdir(bed_dir):
         bed_dir = tempfile.mkdtemp(prefix="perf_filt_")
         log(f"generating {N_LINES/1e6:.0f}M chunk-bed lines (untimed) → "
             f"{bed_dir}")

@@ -41,7 +41,7 @@ while :; do
         fi
     done
     log "TPU compute OK after $n failed probes — launching campaign"
-    bash scripts/tpu_campaign_r4.sh
+    bash "${CAMPAIGN:-scripts/tpu_campaign_r5.sh}"
     rc=$?
     launches=$((launches + 1))
     if [ $rc -eq 0 ]; then
