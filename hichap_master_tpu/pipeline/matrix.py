@@ -59,9 +59,10 @@ from ..ops.correct import (
     two_step_correction,
 )
 from ..ops.imputation import disk_offsets, impute_inter_chunk
-from ..ops.sparse_impute import SparseU, disk_row_intervals, sparse_impute_vote
+from ..ops.sparse_impute import (SparseU, disk_row_intervals,
+                                 sparse_impute_vote_rowptr)
 from ..utils.logging import get_logger
-from ..utils.profiling import stage
+from ..utils.profiling import add as profiling_add, stage
 
 log = get_logger(__name__)
 
@@ -1115,17 +1116,28 @@ def build_haplotype_datasets(
 
             def _emit(padded, valid, st=st, mn=float(imputation_min),
                       rt=float(imputation_ratio)):
+                import time as _time
+
                 rk, cs, cc = padded
                 if st["sparse"]:
                     su = st["su"]
                     ri, lo, hi = st["disk"]
-                    hit, tgt = sparse_impute_vote(
-                        su.srows, su.scols, su.cum32, jnp.asarray(rk),
+                    t0 = _time.perf_counter()
+                    hit, tgt = sparse_impute_vote_rowptr(
+                        su.scols, su.cum32, su.row_ptr, jnp.asarray(rk),
                         jnp.asarray(cs), jnp.asarray(cc), jnp.asarray(valid),
                         ri, lo, hi, jnp.int32(su.S), st["L"], mn, rt,
-                        su.iters)
+                        su.row_iters)
                     hit = np.asarray(hit)
-                    st["acc"].add_directed(rk[hit], np.asarray(tgt)[hit])
+                    tgt = np.asarray(tgt)
+                    # device/host split of the vote wall (VERDICT r4 item 3:
+                    # is pass3 host-sort or device-dispatch bound?)
+                    profiling_add("matrix.hap.pass3.device",
+                                  _time.perf_counter() - t0)
+                    t0 = _time.perf_counter()
+                    st["acc"].add_directed(rk[hit], tgt[hit])
+                    profiling_add("matrix.hap.pass3.host_acc",
+                                  _time.perf_counter() - t0)
                 else:
                     di, dj = st["disk"]
                     st["dev"] = impute_inter_chunk(

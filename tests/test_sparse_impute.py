@@ -11,7 +11,9 @@ from hichap_master_tpu.ops.imputation import disk_offsets, impute_inter_oracle
 from hichap_master_tpu.ops.sparse_impute import (SparseU, disk_row_intervals,
                                                  lex_searchsorted,
                                                  sparse_disk_sums,
-                                                 sparse_impute_vote)
+                                                 sparse_disk_sums_rowptr,
+                                                 sparse_impute_vote,
+                                                 sparse_impute_vote_rowptr)
 
 
 @pytest.mark.parametrize("L", [1, 2, 3, 5, 8, 13, 40])
@@ -88,6 +90,57 @@ def test_sparse_vote_matches_oracle(rng):
         jnp.asarray(hi), jnp.int32(S), L, 2.0, 0.6, su.iters)
     hit, tgt = np.asarray(hit), np.asarray(tgt)
 
+    imp = np.zeros((S, S))
+    np.add.at(imp, (rk[hit], tgt[hit]), 1)
+    want = impute_inter_oracle(np.zeros((S, S)), U, rk[valid], cs[valid],
+                               cc[valid], L, 2.0, 0.6)
+    np.testing.assert_array_equal(imp, want)
+
+
+def test_rowptr_disk_sums_match_lex(rng):
+    """The production row-pointer-bounded search (round 5) against the lex
+    binary-search oracle, same disk queries."""
+    S, L = 150, 9
+    rows, cols, vals = _random_sym_coo(rng, S, 1200)
+    su = SparseU(rows, cols, vals, S)
+    ri, lo, hi = disk_row_intervals(L)
+    q = 200
+    r = rng.integers(L, S - L - 1, q)
+    c = rng.integers(L, S - L - 1, q)
+    want = np.asarray(sparse_disk_sums(
+        su.srows, su.scols, su.cum32, jnp.asarray(r), jnp.asarray(c),
+        jnp.asarray(ri), jnp.asarray(lo), jnp.asarray(hi), su.iters))
+    got = np.asarray(sparse_disk_sums_rowptr(
+        su.scols, su.cum32, su.row_ptr, jnp.asarray(r), jnp.asarray(c),
+        jnp.asarray(ri), jnp.asarray(lo), jnp.asarray(hi), su.row_iters))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rowptr_vote_matches_lex_and_oracle(rng):
+    S, L = 90, 4
+    rows, cols, vals = _random_sym_coo(rng, S, 700)
+    U = np.zeros((S, S))
+    U[rows, cols] = vals
+    U[cols, rows] = vals
+    su = SparseU(rows, cols, vals, S)
+    ri, lo, hi = disk_row_intervals(L)
+    q = 400
+    rk = rng.integers(0, S, q)
+    cs = rng.integers(0, S, q)
+    cc = rng.integers(0, S, q)
+    valid = rng.random(q) < 0.9
+    hit, tgt = sparse_impute_vote_rowptr(
+        su.scols, su.cum32, su.row_ptr, jnp.asarray(rk), jnp.asarray(cs),
+        jnp.asarray(cc), jnp.asarray(valid), jnp.asarray(ri), jnp.asarray(lo),
+        jnp.asarray(hi), jnp.int32(S), L, 2.0, 0.6, su.row_iters)
+    hit_l, tgt_l = sparse_impute_vote(
+        su.srows, su.scols, su.cum32, jnp.asarray(rk), jnp.asarray(cs),
+        jnp.asarray(cc), jnp.asarray(valid), jnp.asarray(ri), jnp.asarray(lo),
+        jnp.asarray(hi), jnp.int32(S), L, 2.0, 0.6, su.iters)
+    np.testing.assert_array_equal(np.asarray(hit), np.asarray(hit_l))
+    np.testing.assert_array_equal(np.asarray(tgt)[np.asarray(hit)],
+                                  np.asarray(tgt_l)[np.asarray(hit_l)])
+    hit, tgt = np.asarray(hit), np.asarray(tgt)
     imp = np.zeros((S, S))
     np.add.at(imp, (rk[hit], tgt[hit]), 1)
     want = impute_inter_oracle(np.zeros((S, S)), U, rk[valid], cs[valid],
