@@ -371,6 +371,18 @@ def main():
                         rj.get("median_total_s")
                     out["extras"]["hg19_fullsuite_samples"] = \
                         rj.get("sample_totals_s")
+                if rj.get("plain_median_total_s") is not None:
+                    out["extras"]["hg19_fullsuite_plain_median_s"] = \
+                        rj.get("plain_median_total_s")
+                # device-vs-link itemization (BASELINE <60 s north-star
+                # is judged on a tunneled dev chip): the loops upload
+                # phase is pure tunnel wire — ~0.3 s for the same bytes
+                # on a PCIe host — and the largest single link share
+                if rj.get("median_loops_upload_s") is not None:
+                    out["extras"]["hg19_loops_upload_median_s"] = \
+                        rj.get("median_loops_upload_s")
+                if rj.get("loops_phases"):
+                    out["extras"]["hg19_loops_phases"] = rj["loops_phases"]
         except Exception:
             pass
     rec = os.path.join(_REPO, ".perf_e2e.json")
