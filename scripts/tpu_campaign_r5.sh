@@ -183,7 +183,7 @@ log "=== 3b. TRUE diploid e2e ON THE CHIP x3 (true median; VERDICT item 3) ==="
 for i in 1 2 3; do
     [ -f /tmp/${TAG}_hap_run$i.json ] && { log "hap run $i recorded — skip"; continue; }
     log "--- hap e2e run $i ---"
-    timeout 3600 python scripts/perf_e2e_hap.py
+    timeout 5400 python scripts/perf_e2e_hap.py
     rc=$?
     log "hap e2e run$i rc=$rc"
     [ $rc -eq 0 ] && cp "$HERE/.perf_e2e_hap.json" /tmp/${TAG}_hap_run$i.json 2>/dev/null

@@ -65,7 +65,7 @@ export PERF_HAP_BED=/tmp/hap_bed_r4/rep1
 for i in 1 2 3; do
     [ -f /tmp/${TAG}_hap_run$i.json ] && { log "hap run $i recorded — skip"; continue; }
     log "--- hap e2e run $i (rowptr vote) ---"
-    timeout 3600 python scripts/perf_e2e_hap.py
+    timeout 5400 python scripts/perf_e2e_hap.py
     rc=$?
     log "hap e2e run$i rc=$rc"
     [ $rc -eq 0 ] && cp "$HERE/.perf_e2e_hap.json" /tmp/${TAG}_hap_run$i.json 2>/dev/null
