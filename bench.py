@@ -409,11 +409,13 @@ def main():
                     ex["e2e_ice500_gw_s"] = sw["matrix.ice.500000.gw"]
                 if rj.get("median_ice500_gw_s") is not None:
                     ex["e2e_ice500_gw_median_s"] = rj["median_ice500_gw_s"]
+                # hybrid 10 kb GW split: fetch = host pixel read + layout
+                # build; balance = H2D upload + device iterations
                 if "matrix.ice.10000.gw.balance" in sw:
-                    ex["hybrid_ice_device_s"] = sw[
+                    ex["hybrid_ice_balance_s"] = sw[
                         "matrix.ice.10000.gw.balance"]
                 if "matrix.ice.10000.gw.fetch" in sw:
-                    ex["hybrid_ice_wire_s"] = sw["matrix.ice.10000.gw.fetch"]
+                    ex["hybrid_ice_fetch_s"] = sw["matrix.ice.10000.gw.fetch"]
         except Exception:
             pass
     # .perf_filtering.json — filtering stage at scale (perf_filtering.py)

@@ -841,14 +841,16 @@ def _write_weights_inner(path: str, genome: Genome, res: int,
         # pure tile layout would touch ~every off-band tile
         from ..ops.sparse_hybrid import hybrid_from_coo, ice_balance_hybrid
 
-        b1, b2, v = r.pixels_coo()
-        # raw integer counts ride the wire as uint16 (hybrid_from_coo
-        # detects the range); cast to f32 happens on device.  Cooler
-        # pixels are unique (i, j) pairs, so tile fill is assignment,
-        # not accumulation — cuts the 1-core host build ~25x at 30M px.
-        h = hybrid_from_coo(b1, b2, v, r.nbins, assume_unique=True)
-        w, _ = ice_balance_hybrid(h)
-        weights = np.asarray(w)[: r.nbins]
+        with stage(f"matrix.ice.{res}.gw.fetch"):
+            b1, b2, v = r.pixels_coo()
+            # raw integer counts ride the wire as uint16 (hybrid_from_coo
+            # detects the range); cast to f32 happens on device.  Cooler
+            # pixels are unique (i, j) pairs, so tile fill is assignment,
+            # not accumulation — cuts the 1-core host build ~25x at 30M px.
+            h = hybrid_from_coo(b1, b2, v, r.nbins, assume_unique=True)
+        with stage(f"matrix.ice.{res}.gw.balance"):
+            w, _ = ice_balance_hybrid(h)
+            weights = np.asarray(w)[: r.nbins]
     else:
         with stage(f"matrix.ice.{res}.gw.fetch"):
             Mj, S = r.genomewide_device()
