@@ -106,7 +106,12 @@ class SparseU:
         row_ptr = np.searchsorted(r, np.arange(S + 1, dtype=np.int64))
         self.row_ptr = jnp.asarray(row_ptr.astype(np.int32))
         max_row = int((row_ptr[1:] - row_ptr[:-1]).max()) if S else 0
-        self.row_iters = int(np.ceil(np.log2(max(max_row, 2)))) + 1
+        # quantized up to a multiple of 4: ``iters`` is a static jit arg,
+        # so per-dataset exact values would compile a fresh kernel per
+        # distinct max-row-nnz; extra steps are no-ops once the search
+        # converges (ladder principle, core/contacts.pad_to_shape)
+        need = int(np.ceil(np.log2(max(max_row, 2)))) + 1
+        self.row_iters = -(-need // 4) * 4
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
