@@ -106,12 +106,13 @@ class SparseU:
         row_ptr = np.searchsorted(r, np.arange(S + 1, dtype=np.int64))
         self.row_ptr = jnp.asarray(row_ptr.astype(np.int32))
         max_row = int((row_ptr[1:] - row_ptr[:-1]).max()) if S else 0
-        # quantized up to a multiple of 4: ``iters`` is a static jit arg,
+        # quantized up to a multiple of 2: ``iters`` is a static jit arg,
         # so per-dataset exact values would compile a fresh kernel per
         # distinct max-row-nnz; extra steps are no-ops once the search
-        # converges (ladder principle, core/contacts.pad_to_shape)
+        # converges (ladder principle, core/contacts.pad_to_shape), but
+        # each step is a gather — keep the overshoot ≤1 step
         need = int(np.ceil(np.log2(max(max_row, 2)))) + 1
-        self.row_iters = -(-need // 4) * 4
+        self.row_iters = -(-need // 2) * 2
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
