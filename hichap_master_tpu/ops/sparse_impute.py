@@ -24,6 +24,15 @@ Two TPU-specific choices:
     int32** — any single disk-window sum is far below 2^31, so the wrapped
     difference is exact even when the genome-wide total overflows.
 
+Round 5 added the production variant, ``sparse_impute_vote_rowptr``: a
+row-pointer table restricts each disk-row search to that row's slice of
+the column array, cutting the per-query random-HBM traffic from
+log2(nnz) steps x 2 gathers (srows + scols) to log2(max row nnz) steps
+x 1 gather — measured 3.0x at the diploid 10 kb production scale
+(scripts/probe_vote_ab.py, exact output parity).  The lex variant
+remains as the parity oracle (tests/test_sparse_impute.py pins both
+against the dense-kernel oracle).
+
 Vote semantics match ``ops.imputation.impute_inter_chunk`` exactly
 (HiCHap/matrixBuilding.py:1302-1493 with the D1/D2 fixes, DIVERGENCES.md):
 same-haplotype candidate wins when its disk count is >= ``min_count`` and
