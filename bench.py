@@ -417,6 +417,10 @@ def main():
                     # median of >= 3 on-chip runs (campaign-aggregated)
                     ex["hg19_e2e_median_s"] = rj.get("median_total_s")
                     ex["hg19_e2e_samples"] = rj.get("sample_totals_s")
+                if rj.get("warmup_total_s") is not None:
+                    # r5c protocol: run 1 pays bed generation + compile
+                    # debt and is excluded from the median
+                    ex["hg19_e2e_warmup_s"] = rj.get("warmup_total_s")
                 # headline stage walls (VERDICT r4: the 500 kb-GW ICE
                 # anomaly fix must be visible in the bench record) + the
                 # hybrid 10 kb GW device-vs-wire split (roofline item 8)
